@@ -1,0 +1,362 @@
+"""Wavefront integrators.
+
+The reference's recursive, per-ray integrators (yuki/src/integrators/) become
+fixed-depth masked wavefront passes: the whole pixel batch marches through
+trace -> shade -> next-ray together, with dead lanes masked out.  Bounce
+loops are unrolled at trace time (max_depth is static config), which also
+reproduces the reference's sampler-dimension consumption order exactly:
+camera jitter (dims 0-1), then per bounce 2 dims per light (NEE, in scene
+light order), 2 dims for the BSDF sample, and 1 RR dim after bounce 3
+(path.rs:102-178).
+
+Integrator registry mirrors IntegratorType (integrators/mod.rs:32-53):
+  Whitted / Path / BVHIntersections / GeometryNormals / ShadingNormals /
+  ShadingUVs
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .. import bsdf as bsdf_mod
+from .. import lights as lights_mod
+from .. import traverse
+from ..sampling import SampleCtx, Sampler
+from ..surface import Surface, make_surface, spawn_ray, spawn_ray_to
+from ..vecmath import dot, is_black
+
+
+@dataclass(frozen=True)
+class WhittedParams:
+    max_depth: int = 3
+
+
+@dataclass(frozen=True)
+class PathParams:
+    max_depth: int = 3
+    indirect_clamp: Optional[float] = None
+
+
+class LiResult(NamedTuple):
+    li: jnp.ndarray  # [N,3]
+    ray_count: jnp.ndarray  # [N] i32 — closest-hit traversals, matching the
+    # reference's ray_scene_intersections counter (shadow rays not counted,
+    # path.rs:97 / whitted.rs:117)
+
+
+def _nee(scene, meta, sampler: Sampler, ctx: SampleCtx, si: Surface,
+         mp, dim, active):
+    """Direct lighting summed over every scene light (the fold in
+    path.rs:102-124 / whitted.rs:119-141).  ``dim`` may be a Python int or a
+    traced i32 scalar. Returns (radiance, next_dim)."""
+    total = jnp.zeros_like(si.p)
+    for li_idx, ltype in enumerate(meta.light_types):
+        u = sampler.get_2d(ctx, dim)
+        dim = dim + 2
+        ls = lights_mod.sample_li(scene, li_idx, ltype, si, u)
+        f = bsdf_mod.bsdf_f(mp, si, si.wo, ls.l)
+        worth = active & ~is_black(ls.li) & ~is_black(f)
+        o_s, d_s = spawn_ray_to(si, ls.target)
+        occluded = traverse.any_intersect(
+            scene, meta, o_s, d_s, jnp.full(si.p.shape[:-1], 0.9999),
+            ls.skip_light,
+        )
+        cos = jnp.clip(dot(si.ns, ls.l), 0.0, 1.0)
+        contrib = f * ls.li * (cos / jnp.maximum(ls.pdf, 1e-30))[..., None]
+        total = total + jnp.where((worth & ~occluded)[..., None], contrib, 0.0)
+    return total, dim
+
+
+def path_li(scene, meta, params: PathParams, sampler: Sampler,
+            ctx: SampleCtx, o, d, dim: int = 2) -> LiResult:
+    """Path tracing with NEE every bounce, optional indirect clamp and
+    Russian roulette after bounce 3 (path.rs:48-178).
+
+    The bounce loop is a ``lax.scan`` so the (large) trace/shade body is
+    compiled once regardless of max_depth.  Sampler dimensions advance by a
+    fixed stride per bounce (2 per light + 2 BSDF + 1 RR slot); unlike the
+    reference, the RR dimension slot is reserved on every bounce — dimension
+    *indices* differ from the reference past bounce 3 but every dimension is
+    still an independent stateless-hash stream, so distributions match.
+    """
+    shape = o.shape[:-1]
+    n_lights = len(meta.light_types)
+    dims_per_bounce = 2 * n_lights + 2 + 1
+
+    def body(carry, bounce):
+        o, d, beta, radiance, alive, specular_bounce, ray_count = carry
+        dim0 = dim + bounce * dims_per_bounce
+
+        ray_count = ray_count + alive.astype(jnp.int32)
+        t_max = jnp.full(shape, traverse.F32_MAX)
+        hit = traverse.intersect(scene, meta, o, d, t_max)
+
+        # Miss: background, terminate (path.rs:155-160).
+        missed = alive & ~hit.hit
+        radiance = radiance + jnp.where(
+            missed[..., None], beta * scene.background, 0.0
+        )
+        alive = alive & hit.hit
+
+        si = make_surface(scene, hit, o, d)
+        mp = bsdf_mod.gather_materials(scene, si)
+
+        bounce_radiance, dimn = _nee(
+            scene, meta, sampler, ctx, si, mp, dim0, alive
+        )
+
+        # Emitted on first/specular hit.  NOTE: the reference multiplies the
+        # emitted term by beta here AND the whole per-bounce radiance by beta
+        # below (path.rs:126-137); we reproduce that exactly for image parity.
+        emit_mask = specular_bounce | (bounce == 0)
+        emitted = lights_mod.area_light_radiance(scene, si, -d)
+        bounce_radiance = bounce_radiance + jnp.where(
+            emit_mask[..., None], beta * emitted, 0.0
+        )
+
+        if params.indirect_clamp is not None:
+            clamped = jnp.minimum(bounce_radiance, params.indirect_clamp)
+            bounce_radiance = jnp.where(bounce > 0, clamped, bounce_radiance)
+
+        radiance = radiance + jnp.where(
+            alive[..., None], beta * bounce_radiance, 0.0
+        )
+
+        u = sampler.get_2d(ctx, dimn)
+        dimn = dimn + 2
+        bs = bsdf_mod.bsdf_sample(mp, si, si.wo, u)
+        terminated = is_black(bs.f) | (bs.pdf == 0.0)
+        alive = alive & ~terminated
+        specular_bounce = bs.is_specular
+
+        beta = beta * bs.f * (
+            jnp.abs(dot(bs.wi, si.ns)) / jnp.maximum(bs.pdf, 1e-30)
+        )[..., None]
+        # Guard against overflowing throughput (grazing microfacet pdfs can
+        # underflow in f32): a non-finite beta would turn inf*0 into NaN in
+        # later masked accumulations, so retire the lane instead.
+        finite = jnp.all(jnp.isfinite(beta), axis=-1)
+        alive = alive & finite
+        beta = jnp.where(finite[..., None], beta, 0.0)
+        o = spawn_ray(si, bs.wi)
+        d = bs.wi
+
+        # Russian roulette (path.rs:162-169), applied after bounce 3.
+        q = jnp.maximum(0.05, 1.0 - beta[..., 1])
+        r = sampler.get_1d(ctx, dimn)
+        rr_on = bounce > 3
+        alive = alive & ~(rr_on & (r < q))
+        beta = jnp.where(
+            rr_on, beta / jnp.maximum(1.0 - q, 1e-30)[..., None], beta
+        )
+
+        return (o, d, beta, radiance, alive, specular_bounce, ray_count), None
+
+    init = (
+        o,
+        d,
+        jnp.ones(o.shape),
+        jnp.zeros(o.shape),
+        jnp.ones(shape, dtype=bool),
+        jnp.zeros(shape, dtype=bool),
+        jnp.zeros(shape, dtype=jnp.int32),
+    )
+    (o, d, beta, radiance, alive, specular_bounce, ray_count), _ = jax.lax.scan(
+        body, init, jnp.arange(params.max_depth, dtype=jnp.int32)
+    )
+    return LiResult(li=radiance, ray_count=ray_count)
+
+
+def whitted_li(scene, meta, params: WhittedParams, sampler: Sampler,
+               ctx: SampleCtx, o, d, dim: int = 2) -> LiResult:
+    """Whitted: direct lighting + recursive perfect-specular reflection and
+    transmission (whitted.rs:73-181).
+
+    The reference recurses per ray; naive trace-time unrolling duplicates
+    the whole trace/shade body 2^depth-1 times, which the TPU compiler
+    chokes on.  Instead the recursion tree is walked *iteratively*: a
+    ``lax.scan`` of 2^depth-1 steps runs ONE compiled trace/shade body, and
+    each lane carries a small explicit DFS stack of pending specular
+    branches (o, d, throughput scale, depth, parent contribution weight).
+    Reflection children continue immediately; transmission children are
+    pushed.  Lanes whose surfaces spawn no specular children idle (masked)
+    until every lane's stack drains — same images, compiler-sized graph.
+
+    Sampler dimensions: each tree step consumes 2 dims per light for NEE
+    (the reference consumes them in depth-first visit order; our visit
+    order is the same DFS, so dimension assignment matches lane-wise for
+    pure-reflection chains and differs only in *index* for mixed trees —
+    distribution-equivalent, see sampling.py).
+    """
+    shape = o.shape[:-1]
+    depth_cap = params.max_depth
+    n_steps = max(2 ** depth_cap - 1, 1)
+    stack_size = max(depth_cap, 1)
+    n_lights = len(meta.light_types)
+    dims_per_step = 2 * n_lights
+
+    def push(stack, sp, item, mask):
+        """Push item (dict of arrays) at per-lane sp where mask."""
+        out = {}
+        for k, v in item.items():
+            buf = stack[k]
+            onehot = (
+                jax.lax.broadcasted_iota(jnp.int32, (stack_size,) + sp.shape, 0)
+                == sp[None]
+            ) & mask[None]
+            if v.ndim > sp.ndim:  # vector entries [N,3]
+                onehot = onehot[..., None]
+                v = v[None]
+            else:
+                v = v[None]
+            out[k] = jnp.where(onehot, v, buf)
+        return out, sp + mask.astype(jnp.int32)
+
+    def pop(stack, sp, mask):
+        """Pop at sp-1 where mask; returns (item, new_sp)."""
+        idx = jnp.maximum(sp - 1, 0)
+        item = {}
+        for k, v in stack.items():
+            ix = idx[None, ...]
+            while ix.ndim < v.ndim:
+                ix = ix[..., None]
+            ix = jnp.broadcast_to(ix, (1,) + v.shape[1:])
+            item[k] = jnp.take_along_axis(v, ix, axis=0)[0]
+        return item, sp - mask.astype(jnp.int32)
+
+    zero3 = jnp.zeros(o.shape)
+    stack0 = {
+        "o": jnp.zeros((stack_size,) + o.shape),
+        "d": jnp.zeros((stack_size,) + o.shape),
+        "scale": jnp.zeros((stack_size,) + o.shape),
+        "depth": jnp.zeros((stack_size,) + shape, dtype=jnp.int32),
+        "spec": jnp.zeros((stack_size,) + shape, dtype=bool),
+    }
+
+    def body(carry, step):
+        (radiance, ray_count, stack, sp,
+         cur_o, cur_d, cur_scale, cur_depth, cur_spec, cur_active) = carry
+        dim0 = dim + step * dims_per_step
+
+        ray_count = ray_count + cur_active.astype(jnp.int32)
+        t_max = jnp.full(shape, traverse.F32_MAX)
+        hit = traverse.intersect(scene, meta, cur_o, cur_d, t_max)
+        missed = cur_active & ~hit.hit
+        radiance = radiance + jnp.where(
+            missed[..., None], cur_scale * scene.background, 0.0
+        )
+        live = cur_active & hit.hit
+
+        si = make_surface(scene, hit, cur_o, cur_d)
+        mp = bsdf_mod.gather_materials(scene, si)
+
+        direct, _ = _nee(scene, meta, sampler, ctx, si, mp, dim0, live)
+        emit_mask = cur_spec | (cur_depth == 0)
+        direct = direct + jnp.where(
+            emit_mask[..., None],
+            lights_mod.area_light_radiance(scene, si, -cur_d),
+            0.0,
+        )
+        radiance = radiance + jnp.where(
+            live[..., None], cur_scale * direct, 0.0
+        )
+
+        can_recurse = live & (cur_depth + 1 < depth_cap)
+        # Specular children (whitted.rs:38-70): f * |wi . ns| weights.
+        bs_r = bsdf_mod.bsdf_sample_specular(mp, si, si.wo, transmission=False)
+        bs_t = bsdf_mod.bsdf_sample_specular(mp, si, si.wo, transmission=True)
+
+        def child(bs):
+            scale = bs.f * jnp.abs(dot(bs.wi, si.ns))[..., None]
+            scale = jnp.where(jnp.isfinite(scale), scale, 0.0) * cur_scale
+            return {
+                "o": spawn_ray(si, bs.wi),
+                "d": bs.wi,
+                "scale": scale,
+                "depth": cur_depth + 1,
+                "spec": bs.is_specular,
+            }
+
+        t_valid = can_recurse & bs_t.valid
+        r_valid = can_recurse & bs_r.valid
+        stack, sp = push(stack, sp, child(bs_t), t_valid)
+
+        # Next current: reflection child where valid, else pop, else idle.
+        popped_mask = ~r_valid & (sp > 0)
+        item, sp = pop(stack, sp, popped_mask)
+        refl = child(bs_r)
+        nxt_active = r_valid | popped_mask
+        sel = r_valid[..., None]
+        cur_o = jnp.where(sel, refl["o"], item["o"])
+        cur_d = jnp.where(sel, refl["d"], item["d"])
+        cur_scale = jnp.where(sel, refl["scale"], item["scale"])
+        cur_depth = jnp.where(r_valid, refl["depth"], item["depth"])
+        cur_spec = jnp.where(r_valid, refl["spec"], item["spec"])
+        cur_active = nxt_active
+
+        return (radiance, ray_count, stack, sp,
+                cur_o, cur_d, cur_scale, cur_depth, cur_spec, cur_active), None
+
+    init = (
+        jnp.zeros(o.shape),
+        jnp.zeros(shape, dtype=jnp.int32),
+        stack0,
+        jnp.zeros(shape, dtype=jnp.int32),
+        o,
+        d,
+        jnp.ones(o.shape),
+        jnp.zeros(shape, dtype=jnp.int32),
+        jnp.zeros(shape, dtype=bool),
+        jnp.ones(shape, dtype=bool),
+    )
+    carry, _ = jax.lax.scan(
+        body, init, jnp.arange(n_steps, dtype=jnp.int32)
+    )
+    return LiResult(li=carry[0], ray_count=carry[1])
+
+
+def geometry_normals_li(scene, meta, o, d) -> LiResult:
+    hit = traverse.intersect(
+        scene, meta, o, d, jnp.full(o.shape[:-1], traverse.F32_MAX)
+    )
+    si = make_surface(scene, hit, o, d)
+    col = jnp.where(hit.hit[..., None], si.n / 2.0 + 0.5, 0.0)
+    return LiResult(li=col, ray_count=jnp.ones(o.shape[:-1], jnp.int32))
+
+
+def shading_normals_li(scene, meta, o, d) -> LiResult:
+    hit = traverse.intersect(
+        scene, meta, o, d, jnp.full(o.shape[:-1], traverse.F32_MAX)
+    )
+    si = make_surface(scene, hit, o, d)
+    col = jnp.where(hit.hit[..., None], si.ns / 2.0 + 0.5, 0.0)
+    return LiResult(li=col, ray_count=jnp.ones(o.shape[:-1], jnp.int32))
+
+
+def shading_uvs_li(scene, meta, o, d) -> LiResult:
+    hit = traverse.intersect(
+        scene, meta, o, d, jnp.full(o.shape[:-1], traverse.F32_MAX)
+    )
+    si = make_surface(scene, hit, o, d)
+    col = jnp.stack(
+        [si.uv[..., 0], si.uv[..., 1], jnp.zeros(o.shape[:-1])], axis=-1
+    )
+    col = jnp.where(hit.hit[..., None], col, 0.0)
+    return LiResult(li=col, ray_count=jnp.ones(o.shape[:-1], jnp.int32))
+
+
+def bvh_intersections_li(scene, meta, o, d) -> LiResult:
+    """Traversal heatmap (bvh_heatmap.rs): r = nodes visited, g = node steps
+    on hit paths.  Our stackless traversal visits nodes rather than counting
+    slab tests separately, so r==g==steps; b = steps if the ray hit."""
+    hit, steps = traverse.intersect(
+        scene, meta, o, d, jnp.full(o.shape[:-1], traverse.F32_MAX),
+        with_stats=True,
+    )
+    s = steps.astype(jnp.float32)
+    col = jnp.stack([s, s, jnp.where(hit.hit, s, 0.0)], axis=-1)
+    return LiResult(li=col, ray_count=jnp.ones(o.shape[:-1], jnp.int32))
