@@ -144,3 +144,48 @@ class TestEmission:
         li = np.asarray(res.li)[0]
         expected = 2.0 / (0.01 * np.pi)
         assert li[0] == pytest.approx(expected, rel=1e-3)
+
+
+class TestPointLightShadows:
+    def test_blocker_occludes_point_light(self):
+        """Regression: skip_light sentinel must not disable point-light
+        shadows (ordinary geometry has area_light id -1)."""
+        from yuki_tpu import transforms as tf
+        from yuki_tpu.scene.data import SceneBuilder
+
+        b = SceneBuilder()
+        white = b.add_matte(kd=(0.8, 0.8, 0.8))
+        # Floor at y=0.
+        b.add_mesh(
+            tf.Transform.identity(), [0, 1, 2, 0, 2, 3],
+            [(-2, 0, -2), (-2, 0, 2), (2, 0, 2), (2, 0, -2)], material=white,
+        )
+        # Blocker quad at y=1 directly under the light.
+        b.add_mesh(
+            tf.Transform.identity(), [0, 1, 2, 0, 2, 3],
+            [(-0.5, 1, -0.5), (-0.5, 1, 0.5), (0.5, 1, 0.5), (0.5, 1, -0.5)],
+            material=white,
+        )
+        b.add_point_light(tf.translation((0.0, 2.0, 0.0)), (50.0, 50.0, 50.0))
+        scene = b.build()
+
+        o = jnp.asarray([[0.0, 3.0, 0.0], [1.5, 3.0, 1.5]])
+        # Rays straight down: first hits the blocker top (lit), and a second
+        # at (1.5,*,1.5) hits the floor outside the shadow (lit); a third
+        # below the blocker must be shadowed.
+        o = jnp.asarray([[0.0, 0.5, 0.0], [1.5, 3.0, 1.5]])
+        d = jnp.asarray([[0.0, -1.0, 0.0], [0.0, -1.0, 0.0]])
+        sampler = UniformSampler(1)
+        ctx = SampleCtx(
+            px=jnp.asarray([0, 1], dtype=jnp.uint32),
+            py=jnp.asarray([0, 0], dtype=jnp.uint32),
+            sample_index=jnp.uint32(0), seed=jnp.uint32(0),
+        )
+        res = intg.path_li(
+            scene.data, scene.meta, intg.PathParams(1), sampler, ctx, o, d
+        )
+        li = np.asarray(res.li)
+        # Lane 0: floor point under the blocker -> fully shadowed.
+        assert li[0].max() == 0.0, li
+        # Lane 1: floor point outside the shadow -> lit.
+        assert li[1].max() > 0.01, li

@@ -60,12 +60,14 @@ def roughness_to_alpha(roughness: jnp.ndarray) -> jnp.ndarray:
 def gather_materials(scene, si: Surface) -> MatParams:
     mats = scene.materials
     mid = jnp.maximum(si.material, 0)
-    mtype = mats.mtype[mid]
-    c0 = mats.c0[mid]
-    c1 = mats.c1[mid]
-    s0 = mats.s0[mid]
-    remap = mats.remap[mid]
-    tex0 = mats.tex0[mid]
+    # One wide gather (MaterialArrays.packed) instead of six narrow ones.
+    row = mats.packed[mid]
+    mtype = row[..., 0].astype(jnp.int32)
+    c0 = row[..., 1:4]
+    c1 = row[..., 4:7]
+    s0 = row[..., 7]
+    remap = row[..., 8] > 0.5
+    tex0 = row[..., 9].astype(jnp.int32)
     # Texture-resolve c0 (kd) where a texture is bound.
     tex_val = eval_texture(scene.textures, jnp.maximum(tex0, 0), si.uv)
     c0 = jnp.where((tex0 >= 0)[..., None], tex_val, c0)

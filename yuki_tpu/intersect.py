@@ -152,6 +152,31 @@ class SphereHit(NamedTuple):
     sphere: jnp.ndarray  # winning sphere index, -1 if none
 
 
+def transform_ray_components(m, o, d):
+    """Apply a [4,4] world->object matrix to rays with pure component math
+    (elementwise, fuses on the VPU — einsum/dot_general pads tiny dims to
+    MXU tiles and is ~50x slower here)."""
+    ox, oy, oz = o[..., 0], o[..., 1], o[..., 2]
+    dx, dy, dz = d[..., 0], d[..., 1], d[..., 2]
+    ro = jnp.stack(
+        [
+            m[0, 0] * ox + m[0, 1] * oy + m[0, 2] * oz + m[0, 3],
+            m[1, 0] * ox + m[1, 1] * oy + m[1, 2] * oz + m[1, 3],
+            m[2, 0] * ox + m[2, 1] * oy + m[2, 2] * oz + m[2, 3],
+        ],
+        axis=-1,
+    )
+    rd = jnp.stack(
+        [
+            m[0, 0] * dx + m[0, 1] * dy + m[0, 2] * dz,
+            m[1, 0] * dx + m[1, 1] * dy + m[1, 2] * dz,
+            m[2, 0] * dx + m[2, 1] * dy + m[2, 2] * dz,
+        ],
+        axis=-1,
+    )
+    return ro, rd
+
+
 def ray_spheres(o, d, t_max, spheres) -> SphereHit:
     """Brute-force closest hit over all spheres (object-space stable-q
     quadratic, sphere.rs:37-89).  S is small; unrolled at trace time."""
@@ -160,8 +185,7 @@ def ray_spheres(o, d, t_max, spheres) -> SphereHit:
     best_i = jnp.full(o.shape[:-1], -1, dtype=jnp.int32)
     for s in range(n_spheres):
         w2o = spheres.world_to_obj[s]
-        ro = apply_p_jax(w2o, o)
-        rd = apply_v_jax(w2o, d)
+        ro, rd = transform_ray_components(w2o, o, d)
         radius = spheres.radius[s]
         a = dot(rd, rd)
         b = 2.0 * dot(rd, ro)

@@ -38,7 +38,11 @@ def sample_li(scene, light_index: int, light_type: int, si: Surface, u) -> Light
     """Sample light `light_index` (static) for every lane."""
     L = scene.lights
     shape = si.p.shape[:-1]
-    neg1 = jnp.full(shape, -1, dtype=jnp.int32)
+    # Shadow-skip sentinel for non-area lights: must never equal a
+    # triangle's area_light id (-1 marks "no area light" on ordinary
+    # geometry, so -1 would accidentally skip EVERYTHING; the reference
+    # passes Option::None here, bvh.rs:287-293).
+    neg1 = jnp.full(shape, -2, dtype=jnp.int32)
 
     if light_type == LIGHT_POINT:
         p = L.p[light_index]

@@ -140,12 +140,14 @@ def _any_kernel(
         hit, _, _, _ = _watertight(
             ox, oy, oz, dx, dy, dz, t_max, _tri_cols(tri_ref, i)
         )
-        return occ | (hit & (light_ref[i, 0] != skip))
+        # i32 carry: Mosaic can't legalize scf.for over i1 vectors.
+        blocked = hit & (light_ref[i, 0] != skip)
+        return occ | blocked.astype(jnp.int32)
 
     occ = jax.lax.fori_loop(
-        0, n_tris, body, jnp.zeros(ox.shape, dtype=jnp.bool_)
+        0, n_tris, body, jnp.zeros(ox.shape, dtype=jnp.int32)
     )
-    occ_out[:] = occ
+    occ_out[:] = occ > 0
 
 
 def _pack_rays(o, d, t_max):

@@ -79,6 +79,12 @@ class TriangleArrays:
     swaps_hand: Any  # [T] bool — mesh object_to_world swaps handedness
     material: Any  # [T] i32
     area_light: Any  # [T] i32 (-1 = none)
+    # One-gather shading row (surface.make_surface): a single [T,32] f32
+    # matrix holding p0,p1,p2 | n0,n1,n2 | uv0,uv1,uv2 | has_ns, swaps,
+    # material, area_light (ids stored exactly as small floats).  TPU XLA
+    # gathers are expensive per call, so the hot path fetches one wide row
+    # instead of 17 narrow ones.
+    shading_packed: Any  # [T,32] f32
 
 
 @_register
@@ -111,6 +117,8 @@ class MaterialArrays:
     s0: Any  # [M]
     remap: Any  # [M] bool
     tex0: Any  # [M] i32 texture id for c0, -1 = constant
+    # One-gather row: [M,16] f32 — mtype, c0(3), c1(3), s0, remap, tex0.
+    packed: Any
 
 
 @_register
@@ -159,6 +167,7 @@ class SceneData:
     lights: LightArrays
     textures: TextureAtlas
     bvh: Any  # bvh.BvhArrays
+    treelets: Any  # treelets.TreeletArrays | None (large scenes only)
     background: Any  # [3]
     world_lo: Any  # [3] scene AABB (bvh.bounds() parity for debug rays)
     world_hi: Any  # [3]
@@ -405,6 +414,17 @@ class SceneBuilder:
         tri_n = np.concatenate(self._tri_n)
         tri_uv = np.concatenate(self._tri_uv)
         flags = np.concatenate(self._tri_flags)
+        tri_mat_np = np.concatenate(self._tri_mat)
+        tri_light_np = np.concatenate(self._tri_light)
+        t_count = tri_p.shape[0]
+        packed = np.zeros((t_count, 32), dtype=np.float32)
+        packed[:, 0:9] = tri_p.reshape(t_count, 9)
+        packed[:, 9:18] = tri_n.reshape(t_count, 9)
+        packed[:, 18:24] = tri_uv.reshape(t_count, 6)
+        packed[:, 24] = flags[:, 0]  # has_ns
+        packed[:, 25] = flags[:, 2]  # swaps_hand
+        packed[:, 26] = tri_mat_np
+        packed[:, 27] = tri_light_np
         tris = TriangleArrays(
             p0=jnp.asarray(tri_p[:, 0]),
             p1=jnp.asarray(tri_p[:, 1]),
@@ -418,8 +438,9 @@ class SceneBuilder:
             has_ns=jnp.asarray(flags[:, 0]),
             has_uv=jnp.asarray(flags[:, 1]),
             swaps_hand=jnp.asarray(flags[:, 2]),
-            material=jnp.asarray(np.concatenate(self._tri_mat)),
-            area_light=jnp.asarray(np.concatenate(self._tri_light)),
+            material=jnp.asarray(tri_mat_np),
+            area_light=jnp.asarray(tri_light_np),
+            shading_packed=jnp.asarray(packed),
         )
 
         if ns:
@@ -445,6 +466,13 @@ class SceneBuilder:
         mats = self._materials or [
             dict(mtype=MAT_MATTE, c0=(1, 1, 1), c1=(0, 0, 0), s0=0.0, remap=False, tex0=-1)
         ]
+        mat_packed = np.zeros((len(mats), 16), dtype=np.float32)
+        mat_packed[:, 0] = [m["mtype"] for m in mats]
+        mat_packed[:, 1:4] = np.asarray([m["c0"] for m in mats], np.float32)
+        mat_packed[:, 4:7] = np.asarray([m["c1"] for m in mats], np.float32)
+        mat_packed[:, 7] = [m["s0"] for m in mats]
+        mat_packed[:, 8] = [float(m["remap"]) for m in mats]
+        mat_packed[:, 9] = [m["tex0"] for m in mats]
         materials = MaterialArrays(
             mtype=jnp.asarray([m["mtype"] for m in mats], dtype=jnp.int32),
             c0=jnp.asarray(np.asarray([m["c0"] for m in mats], dtype=np.float32)),
@@ -452,6 +480,7 @@ class SceneBuilder:
             s0=jnp.asarray([m["s0"] for m in mats], dtype=jnp.float32),
             remap=jnp.asarray([m["remap"] for m in mats], dtype=bool),
             tex0=jnp.asarray([m["tex0"] for m in mats], dtype=jnp.int32),
+            packed=jnp.asarray(mat_packed),
         )
 
         lrows = self._lights or [
@@ -496,6 +525,17 @@ class SceneBuilder:
             max_shapes_in_node=max_shapes_in_node,
             max_leaf_size=max_leaf_size,
         )
+        # Large scenes additionally get the two-level treelet structure for
+        # the Pallas block-traversal kernels (treelets.py).
+        treelet_arrays = None
+        if nt > DENSE_TRI_THRESHOLD:
+            from ..treelets import build_treelets
+
+            treelet_arrays = build_treelets(
+                bvh_host,
+                tri_p,
+                np.concatenate(self._tri_light),
+            )
         world_lo = bvh_host.node_lo[0].copy()
         world_hi = bvh_host.node_hi[0].copy()
         for s in self._spheres:
@@ -517,6 +557,7 @@ class SceneBuilder:
             lights=lights,
             textures=textures,
             bvh=bvh_host.to_device(),
+            treelets=treelet_arrays,
             background=jnp.asarray(self.background),
             world_lo=jnp.asarray(world_lo),
             world_hi=jnp.asarray(world_hi),
@@ -529,6 +570,6 @@ class SceneBuilder:
             n_materials=len(mats),
             light_types=tuple(int(l["ltype"]) for l in lrows) if self._lights else (),
             bvh_max_leaf=bvh_host.max_leaf,
-            traversal="dense" if nt <= DENSE_TRI_THRESHOLD else "bvh",
+            traversal="dense" if nt <= DENSE_TRI_THRESHOLD else "treelet",
         )
         return Scene(data=data, meta=meta, bvh_host=bvh_host)

@@ -48,10 +48,18 @@ def make_surface(scene, hit: SceneHit, o, d) -> Surface:
     wo = -d
 
     # ---- triangle lanes -------------------------------------------------
+    # One wide gather of the packed shading row per lane (see
+    # TriangleArrays.shading_packed) — TPU gathers cost per *call*, so one
+    # [N,32] fetch beats 17 narrow ones by a wide margin.
     pr = jnp.maximum(hit.prim, 0)
-    tris = scene.tris
-    p0, p1, p2 = tris.p0[pr], tris.p1[pr], tris.p2[pr]
-    uv0, uv1, uv2 = tris.uv0[pr], tris.uv1[pr], tris.uv2[pr]
+    row = scene.tris.shading_packed[pr]  # [N,32]
+    p0, p1, p2 = row[..., 0:3], row[..., 3:6], row[..., 6:9]
+    n0, n1, n2 = row[..., 9:12], row[..., 12:15], row[..., 15:18]
+    uv0, uv1, uv2 = row[..., 18:20], row[..., 20:22], row[..., 22:24]
+    has = row[..., 24] > 0.5  # has_ns
+    swaps = row[..., 25] > 0.5
+    mat_tri = row[..., 26].astype(jnp.int32)
+    al_tri = row[..., 27].astype(jnp.int32)
     b0 = hit.b0[..., None]
     b1 = hit.b1[..., None]
     b2 = 1.0 - b0 - b1
@@ -73,10 +81,9 @@ def make_surface(scene, hit: SceneHit, o, d) -> Surface:
 
     # Winding geometric normal with handedness flip (triangle.rs:186-196).
     n_wind = normalize_safe(cross(dp02, dp12))
-    n_wind = jnp.where(tris.swaps_hand[pr][..., None], -n_wind, n_wind)
+    n_wind = jnp.where(swaps[..., None], -n_wind, n_wind)
 
     # Shading normal from authored vertex normals (triangle.rs:199-224).
-    n0, n1, n2 = tris.n0[pr], tris.n1[pr], tris.n2[pr]
     ns_raw = n0 * b0 + n1 * b1 + n2 * b2
     ns_ok = length_sqr(ns_raw) > 0.0
     ns_auth = jnp.where(ns_ok[..., None], normalize_safe(ns_raw), n_wind)
@@ -90,62 +97,96 @@ def make_surface(scene, hit: SceneHit, o, d) -> Surface:
     ts = jnp.where(ts_ok[..., None], ts, cs_t)
     # set_shading_geometry: shading.n = normalize(ss x ts) == ns_auth; the
     # geometric n is face-forwarded to it (interaction.rs:126-132).
-    has = tris.has_ns[pr]
     ns_tri = jnp.where(has[..., None], ns_auth, n_wind)
     ss_tri = jnp.where(has[..., None], ss_auth, ss0)
     n_tri = jnp.where(has[..., None], face_forward(n_wind, ns_auth), n_wind)
 
-    mat_tri = tris.material[pr]
-    al_tri = tris.area_light[pr]
-
     # ---- sphere lanes ---------------------------------------------------
+    # Sphere counts are small (brute-force scene set), so loop per sphere
+    # with masks and pure component math — per-lane [N,4,4] matrix gathers
+    # + einsums were ~0.5 ms/bounce of pure overhead.
     n_spheres = scene.spheres.radius.shape[0]
     if n_spheres:
-        sp = jnp.maximum(hit.sphere, 0)
-        w2o = scene.spheres.world_to_obj[sp]
-        o2w = scene.spheres.obj_to_world[sp]
-        radius = scene.spheres.radius[sp]
-        # Object-space hit point, refined to the surface (sphere.rs:91-103).
-        ro = jnp.einsum("...ij,...j->...i", w2o[..., :3, :3], o) + w2o[..., :3, 3]
-        rd = jnp.einsum("...ij,...j->...i", w2o[..., :3, :3], d)
-        p_obj = ro + rd * hit.t[..., None]
-        p_obj = p_obj * (radius / jnp.maximum(
-            jnp.sqrt(length_sqr(p_obj)), 1e-20))[..., None]
-        fix = (p_obj[..., 0] == 0.0) & (p_obj[..., 1] == 0.0)
-        p_obj = p_obj.at[..., 0].set(
-            jnp.where(fix, 1e-5 * radius, p_obj[..., 0])
-        )
-        phi = jnp.arctan2(p_obj[..., 1], p_obj[..., 0])
-        phi = jnp.where(phi < 0.0, phi + 2.0 * jnp.pi, phi)
+        p_sph = jnp.zeros_like(p_tri)
+        n_sph = jnp.zeros_like(p_tri)
+        ss_sph = jnp.zeros_like(p_tri)
+        uv_sph = jnp.zeros_like(uv_tri)
+        mat_sph = jnp.zeros_like(mat_tri)
         phi_max = 2.0 * jnp.pi
         theta_min = jnp.pi
         theta_max = 0.0
-        u_s = phi / phi_max
-        theta = jnp.arccos(jnp.clip(p_obj[..., 2] / radius, -1.0, 1.0))
-        v_s = (theta - theta_min) / (theta_max - theta_min)
-        dpdu_o = jnp.stack(
-            [-phi_max * p_obj[..., 1], phi_max * p_obj[..., 0],
-             jnp.zeros_like(phi)], axis=-1
-        )
-        z_r = jnp.sqrt(p_obj[..., 0] ** 2 + p_obj[..., 1] ** 2)
-        inv_zr = 1.0 / jnp.maximum(z_r, 1e-20)
-        cos_phi = p_obj[..., 0] * inv_zr
-        sin_phi = p_obj[..., 1] * inv_zr
-        dpdv_o = jnp.stack(
-            [p_obj[..., 2] * cos_phi, p_obj[..., 2] * sin_phi,
-             -radius * jnp.sin(theta)], axis=-1
-        ) * (theta_max - theta_min)
-        n_obj = normalize_safe(cross(dpdu_o, dpdv_o))
-        n_obj = jnp.where(scene.spheres.swaps_hand[sp][..., None], -n_obj, n_obj)
-        # Transform si to world (interaction.rs Mul<SurfaceInteraction>).
-        p_sph = jnp.einsum("...ij,...j->...i", o2w[..., :3, :3], p_obj) + o2w[..., :3, 3]
-        n_sph = normalize_safe(
-            jnp.einsum("...ji,...j->...i", w2o[..., :3, :3], n_obj)
-        )
-        dpdu_w = jnp.einsum("...ij,...j->...i", o2w[..., :3, :3], dpdu_o)
-        ss_sph = normalize_safe(dpdu_w)
-        uv_sph = jnp.stack([u_s, v_s], axis=-1)
-        mat_sph = scene.spheres.material[sp]
+        from .intersect import transform_ray_components
+
+        for s in range(n_spheres):
+            sel = hit.sphere == s
+            w2o = scene.spheres.world_to_obj[s]
+            o2w = scene.spheres.obj_to_world[s]
+            radius = scene.spheres.radius[s]
+            # Object-space hit point, refined (sphere.rs:91-103).
+            ro, rd = transform_ray_components(w2o, o, d)
+            p_obj = ro + rd * hit.t[..., None]
+            p_obj = p_obj * (radius / jnp.maximum(
+                jnp.sqrt(length_sqr(p_obj)), 1e-20))[..., None]
+            fix = (p_obj[..., 0] == 0.0) & (p_obj[..., 1] == 0.0)
+            px_ = jnp.where(fix, 1e-5 * radius, p_obj[..., 0])
+            py_ = p_obj[..., 1]
+            pz_ = p_obj[..., 2]
+            phi = jnp.arctan2(py_, px_)
+            phi = jnp.where(phi < 0.0, phi + 2.0 * jnp.pi, phi)
+            u_s = phi / phi_max
+            theta = jnp.arccos(jnp.clip(pz_ / radius, -1.0, 1.0))
+            v_s = (theta - theta_min) / (theta_max - theta_min)
+            dpdu_o = jnp.stack(
+                [-phi_max * py_, phi_max * px_, jnp.zeros_like(phi)], axis=-1
+            )
+            z_r = jnp.sqrt(px_ * px_ + py_ * py_)
+            inv_zr = 1.0 / jnp.maximum(z_r, 1e-20)
+            dpdv_o = jnp.stack(
+                [pz_ * px_ * inv_zr, pz_ * py_ * inv_zr,
+                 -radius * jnp.sin(theta)], axis=-1
+            ) * (theta_max - theta_min)
+            n_obj = normalize_safe(cross(dpdu_o, dpdv_o))
+            n_obj = jnp.where(scene.spheres.swaps_hand[s], -n_obj, n_obj)
+            # To world (interaction.rs Mul<SurfaceInteraction>): points and
+            # vectors by o2w, normals by w2o^T — component math.
+            lin = o2w[:3, :3]
+            p_w = jnp.stack(
+                [
+                    lin[0, 0] * px_ + lin[0, 1] * py_ + lin[0, 2] * pz_ + o2w[0, 3],
+                    lin[1, 0] * px_ + lin[1, 1] * py_ + lin[1, 2] * pz_ + o2w[1, 3],
+                    lin[2, 0] * px_ + lin[2, 1] * py_ + lin[2, 2] * pz_ + o2w[2, 3],
+                ],
+                axis=-1,
+            )
+            w2o_l = w2o[:3, :3]
+            nx, ny, nz = n_obj[..., 0], n_obj[..., 1], n_obj[..., 2]
+            n_w = normalize_safe(
+                jnp.stack(
+                    [
+                        w2o_l[0, 0] * nx + w2o_l[1, 0] * ny + w2o_l[2, 0] * nz,
+                        w2o_l[0, 1] * nx + w2o_l[1, 1] * ny + w2o_l[2, 1] * nz,
+                        w2o_l[0, 2] * nx + w2o_l[1, 2] * ny + w2o_l[2, 2] * nz,
+                    ],
+                    axis=-1,
+                )
+            )
+            ux, uy, uz = dpdu_o[..., 0], dpdu_o[..., 1], dpdu_o[..., 2]
+            dpdu_w = jnp.stack(
+                [
+                    lin[0, 0] * ux + lin[0, 1] * uy + lin[0, 2] * uz,
+                    lin[1, 0] * ux + lin[1, 1] * uy + lin[1, 2] * uz,
+                    lin[2, 0] * ux + lin[2, 1] * uy + lin[2, 2] * uz,
+                ],
+                axis=-1,
+            )
+            sel3 = sel[..., None]
+            p_sph = jnp.where(sel3, p_w, p_sph)
+            n_sph = jnp.where(sel3, n_w, n_sph)
+            ss_sph = jnp.where(sel3, normalize_safe(dpdu_w), ss_sph)
+            uv_sph = jnp.where(
+                sel[..., None], jnp.stack([u_s, v_s], axis=-1), uv_sph
+            )
+            mat_sph = jnp.where(sel, scene.spheres.material[s], mat_sph)
     else:
         p_sph = p_tri
         n_sph = n_tri
