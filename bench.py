@@ -1,14 +1,19 @@
-"""Benchmark: Cornell 1080p path tracing throughput on the local chip.
+"""Benchmark: 1080p path tracing throughput on the local chip.
 
 Prints ONE json line:
-  {"metric": ..., "value": N, "unit": "Mrays/s", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "Mrays/s", "vs_baseline": N, ...}
 
-The metric matches the reference's displayed throughput — ray-scene
+Scenes: the built-in Cornell box (dense-traversal path) and the
+procedural 124k-triangle colonnade (pair-list treelet traversal) —
+the driver's "Cornell, Sponza-class" pair (BASELINE.md).  Rays are
+generated in film-tile order through the same wave machinery the real
+renderer uses, so block coherence matches production renders.
+
+The ray metric matches the reference's displayed throughput — ray-scene
 intersections per second, counting only closest-hit traversals like
 RadianceResult.ray_scene_intersections (yuki/src/integrators/mod.rs:62-74;
-shadow rays are traced but not counted, exactly like the reference).
-vs_baseline is against the driver target of 200 Mrays/s/chip
-(BASELINE.md).
+shadow rays are traced but not counted).  vs_baseline is against the
+driver target of 200 Mrays/s/chip.
 """
 
 import json
@@ -17,73 +22,79 @@ import time
 import numpy as np
 
 
-def main():
+def bench_scene(scene, cam_params, res, spp, max_depth, wave_tiles=256):
     import jax
     import jax.numpy as jnp
 
     from yuki_tpu.camera import Camera
-    from yuki_tpu.integrators import PathParams, path_li
-    from yuki_tpu.sampling import SampleCtx, UniformSampler
-    from yuki_tpu.scene.cornell import cornell
+    from yuki_tpu.film import FilmSettings, film_tiles
+    from yuki_tpu.integrators import PathParams
+    from yuki_tpu.renderer import make_wave_renderer
+    from yuki_tpu.sampling import UniformSampler
 
-    W, H = 1920, 1080
-    scene, cam_params, _ = cornell()
-    camera = Camera.create(cam_params, W, H)
+    w, h = res
+    camera = Camera.create(cam_params, w, h)
     sampler = UniformSampler(1)
-    params = PathParams(max_depth=5)
-    data, meta = scene.data, scene.meta
+    fs = FilmSettings(res=res, tile_dim=16)
+    tiles = film_tiles(fs)
+    render = make_wave_renderer(
+        scene, camera, sampler, PathParams(max_depth=max_depth), 16, wave_tiles
+    )
 
-    # Split the film into row bands so each dispatch stays in comfortable
-    # HBM territory; all lanes of a band render one sample generation.
-    BANDS = 4
-    band_h = H // BANDS
-
-    @jax.jit
-    def render_band(band, sample_index, seed):
-        py, px = jnp.meshgrid(
-            jnp.arange(band_h, dtype=jnp.int32),
-            jnp.arange(W, dtype=jnp.int32),
-            indexing="ij",
-        )
-        px = px.reshape(-1)
-        py = (py + band * band_h).reshape(-1)
-        ctx = SampleCtx(px=px, py=py, sample_index=sample_index, seed=seed)
-        u = sampler.get_2d(ctx, 0)
-        p_film = jnp.stack(
-            [px.astype(jnp.float32), py.astype(jnp.float32)], axis=-1
-        ) + u
-        o, d = camera.ray(p_film)
-        res = path_li(data, meta, params, sampler, ctx, o, d)
-        return res.li, jnp.sum(res.ray_count.astype(jnp.float64))
-
-    # Warmup/compile.
-    li, rays = render_band(jnp.int32(0), jnp.uint32(0), jnp.uint32(1))
-    li.block_until_ready()
-
-    # Timed: SPP sample generations over the whole film.
-    SPP = 4
-    t0 = time.monotonic()
-    total_rays = 0.0
-    for s in range(SPP):
-        for band in range(BANDS):
-            li, rays = render_band(
-                jnp.int32(band), jnp.uint32(s), jnp.uint32(1)
+    waves = []
+    for w0 in range(0, len(tiles), wave_tiles):
+        wave = tiles[w0 : w0 + wave_tiles]
+        origins = np.asarray([[t.x0, t.y0] for t in wave], dtype=np.int32)
+        if len(wave) < wave_tiles:
+            origins = np.concatenate(
+                [origins, np.zeros((wave_tiles - len(wave), 2), np.int32)]
             )
-            total_rays += float(rays)
-    li.block_until_ready()
-    elapsed = time.monotonic() - t0
+        waves.append(jnp.asarray(origins))
 
-    mrays = total_rays / elapsed / 1e6
-    spp_s = SPP / elapsed
+    # Warmup/compile on the first wave.
+    px, rays = render(waves[0], jnp.int32(0), jnp.uint32(1))
+    px.block_until_ready()
+
+    t0 = time.monotonic()
+    total_rays = jnp.float32(0.0)
+    for s in range(spp):
+        for origins in waves:
+            px, rays = render(origins, jnp.int32(s), jnp.uint32(1))
+            # Accumulate on device; a float() here would force a host sync
+            # per wave and serialize the dispatch pipeline.
+            total_rays = total_rays + rays
+    total_rays = float(total_rays)
+    elapsed = time.monotonic() - t0
+    return {
+        "mrays_s": total_rays / elapsed / 1e6,
+        "spp_s": spp / elapsed,
+        "elapsed_s": elapsed,
+    }
+
+
+def main():
+    from yuki_tpu.scene.cornell import cornell
+    from yuki_tpu.scene.testscenes import colonnade
+
+    scene_c, cam_c, _ = cornell()
+    cornell_stats = bench_scene(scene_c, cam_c, (1920, 1080), spp=4, max_depth=5)
+
+    scene_l, cam_l, _ = colonnade()
+    colonnade_stats = bench_scene(
+        scene_l, cam_l, (1920, 1080), spp=1, max_depth=5
+    )
+
+    value = round(cornell_stats["mrays_s"], 3)
     print(
         json.dumps(
             {
-                "metric": "cornell_1080p_path_d5_closest_hit_rays",
-                "value": round(mrays, 3),
+                "metric": "path_d5_1080p_closest_hit_rays_cornell",
+                "value": value,
                 "unit": "Mrays/s",
-                "vs_baseline": round(mrays / 200.0, 4),
-                "spp_per_s_1080p": round(spp_s, 3),
-                "elapsed_s": round(elapsed, 2),
+                "vs_baseline": round(value / 200.0, 4),
+                "cornell_spp_per_s": round(cornell_stats["spp_s"], 3),
+                "colonnade_124k_mrays_s": round(colonnade_stats["mrays_s"], 3),
+                "colonnade_spp_per_s": round(colonnade_stats["spp_s"], 3),
             }
         )
     )

