@@ -191,12 +191,21 @@ def _pairs_kernel(
         jax.lax.fori_loop(0, leaf_size, tri_body, 0)
 
 
+CHUNK = 8192  # pairs per launch: grid bookkeeping costs ~0.8us/step, so
+# small chunks + lax.cond-skipped dead chunks beat one SMEM-sized launch
+MAX_CHUNKS = 48  # total pair capacity per traversal = 393216
+
+
 @functools.partial(jax.jit, static_argnames=("max_pairs", "interpret"))
-def pairs_closest(tl, o, d, t_max, max_pairs: int = 98304,
+def pairs_closest(tl, o, d, t_max, max_pairs: int = CHUNK * MAX_CHUNKS,
                   interpret: bool = False):
-    """Closest hit via the pair-list walk. Returns (t, prim, b0, b1,
-    n_pairs) — caller must verify n_pairs <= max_pairs (overflow means
-    dropped geometry; fall back to treelet_closest)."""
+    """Closest hit via the pair-list walk.
+
+    The pair list is processed in CHUNK-sized kernel launches (the
+    scalar-prefetch arrays live in 1 MB SMEM) whose per-launch results
+    merge by min-t in XLA; launches whose chunk lies beyond n_pairs are
+    skipped with lax.cond.  Returns (t, prim, b0, b1, n_pairs) — caller
+    falls back to treelet_closest when n_pairs exceeds max_pairs."""
     n = o.shape[0]
     pair_block, pair_treelet, n_pairs, n_blocks = block_candidate_pairs(
         tl, o, d, t_max, max_pairs
@@ -219,47 +228,80 @@ def pairs_closest(tl, o, d, t_max, max_pairs: int = 98304,
         (BLOCK_ROWS, LANES),
         lambda p, pb, pt: (jnp.minimum(pb[p], out_rows // BLOCK_ROWS - 1), 0),
     )
-    out_spec = pl.BlockSpec(
-        (BLOCK_ROWS, LANES),
-        lambda p, pb, pt: (jnp.minimum(pb[p], out_rows // BLOCK_ROWS - 1), 0),
-    )
-    tri_spec = pl.BlockSpec(
-        (k, 128), lambda p, pb, pt: (pt[p], 0)
-    )
-    tb_spec = pl.BlockSpec(
-        tl.treelet_bounds.shape, lambda p, pb, pt: (0, 0)
-    )
-
+    tri_spec = pl.BlockSpec((k, 128), lambda p, pb, pt: (pt[p], 0))
+    tb_spec = pl.BlockSpec(tl.treelet_bounds.shape, lambda p, pb, pt: (0, 0))
+    chunk = min(CHUNK, max_pairs)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(max_pairs,),
+        grid=(chunk,),
         in_specs=[tb_spec, tri_spec] + [ray_spec] * 7,
-        out_specs=[out_spec] * 4,
+        out_specs=[ray_spec] * 4,
     )
     out_f = jax.ShapeDtypeStruct((out_rows, LANES), jnp.float32)
-    # Ray planes padded with the dummy block row.
+    # Ray planes padded with a dummy block row whose t_max is -1, so padded
+    # pairs fail the in-kernel recheck and skip their triangle loops —
+    # otherwise every unused grid step up to CHUNK does real work.
+    fills = [1.0, 1.0, 1.0, 1.0, 1.0, 1.0, -1.0]
     planes = [
         jnp.concatenate(
-            [pl_, jnp.ones((BLOCK_ROWS, LANES), pl_.dtype)], axis=0
+            [pl_, jnp.full((BLOCK_ROWS, LANES), fv, pl_.dtype)], axis=0
         )
-        for pl_ in planes
+        for pl_, fv in zip(planes, fills)
     ]
-    t, prim, b0, b1 = pl.pallas_call(
-        functools.partial(_pairs_kernel, leaf_size=k),
-        grid_spec=grid_spec,
-        out_shape=[
-            out_f,
-            jax.ShapeDtypeStruct((out_rows, LANES), jnp.int32),
-            out_f,
-            out_f,
-        ],
-        interpret=interpret,
-    )(pair_block, pair_treelet, tl.treelet_bounds, tl.tris_padded, *planes)
+
+    n_chunks = (max_pairs + chunk - 1) // chunk
+    best_t = jnp.concatenate(
+        [plane(t_max), jnp.full((BLOCK_ROWS, LANES), -1.0)], axis=0
+    )
+    best_prim = jnp.full((out_rows, LANES), -1, jnp.int32)
+    best_b0 = jnp.zeros((out_rows, LANES), jnp.float32)
+    best_b1 = jnp.zeros((out_rows, LANES), jnp.float32)
+
+    for c in range(n_chunks):
+        pb_c = jax.lax.dynamic_slice(pair_block, (c * chunk,), (chunk,))
+        pt_c = jax.lax.dynamic_slice(pair_treelet, (c * chunk,), (chunk,))
+
+        def run_chunk(_):
+            return pl.pallas_call(
+                functools.partial(_pairs_kernel, leaf_size=k),
+                grid_spec=grid_spec,
+                out_shape=[
+                    out_f,
+                    jax.ShapeDtypeStruct((out_rows, LANES), jnp.int32),
+                    out_f,
+                    out_f,
+                ],
+                interpret=interpret,
+            )(pb_c, pt_c, tl.treelet_bounds, tl.tris_padded, *planes)
+
+        def skip_chunk(_):
+            return (
+                jnp.full((out_rows, LANES), F32_MAX, jnp.float32),
+                jnp.full((out_rows, LANES), -1, jnp.int32),
+                jnp.zeros((out_rows, LANES), jnp.float32),
+                jnp.zeros((out_rows, LANES), jnp.float32),
+            )
+
+        t_c, p_c, b0_c, b1_c = jax.lax.cond(
+            c * chunk < n_pairs, run_chunk, skip_chunk, None
+        )
+        # Blocks untouched by this chunk hold uninitialized memory: merge
+        # only rows whose block actually appeared in the chunk's pair list.
+        touched = jnp.zeros(out_rows // BLOCK_ROWS + 1, bool).at[
+            jnp.minimum(pb_c, out_rows // BLOCK_ROWS)
+        ].set(True, mode="drop")[: out_rows // BLOCK_ROWS]
+        touched_rows = jnp.repeat(touched, BLOCK_ROWS)[:, None]
+        better = touched_rows & (t_c < best_t)
+        best_t = jnp.where(better, t_c, best_t)
+        best_prim = jnp.where(better, p_c, best_prim)
+        best_b0 = jnp.where(better, b0_c, best_b0)
+        best_b1 = jnp.where(better, b1_c, best_b1)
+
     return (
-        t.reshape(-1)[:n],
-        prim.reshape(-1)[:n],
-        b0.reshape(-1)[:n],
-        b1.reshape(-1)[:n],
+        best_t.reshape(-1)[:n],
+        best_prim.reshape(-1)[:n],
+        best_b0.reshape(-1)[:n],
+        best_b1.reshape(-1)[:n],
         n_pairs,
     )
 
@@ -319,10 +361,10 @@ def _pairs_any_kernel(
 
 
 @functools.partial(jax.jit, static_argnames=("max_pairs", "interpret"))
-def pairs_any(tl, o, d, t_max, skip_light, max_pairs: int = 98304,
+def pairs_any(tl, o, d, t_max, skip_light, max_pairs: int = CHUNK * MAX_CHUNKS,
               interpret: bool = False):
-    """Occlusion via the pair-list walk. Returns (occluded [N] bool,
-    n_pairs) — caller falls back when n_pairs > max_pairs."""
+    """Occlusion via the chunked pair-list walk. Returns (occluded [N]
+    bool, n_pairs) — caller falls back when n_pairs > max_pairs."""
     n = o.shape[0]
     pair_block, pair_treelet, n_pairs, n_blocks = block_candidate_pairs(
         tl, o, d, t_max, max_pairs
@@ -339,11 +381,12 @@ def pairs_any(tl, o, d, t_max, skip_light, max_pairs: int = 98304,
     planes.append(
         jnp.pad(skip_light, (0, pad), constant_values=-2).reshape(rows, LANES)
     )
+    fills = [1.0, 1.0, 1.0, 1.0, 1.0, 1.0, -1.0, -2]
     planes = [
         jnp.concatenate(
-            [pl_, jnp.ones((BLOCK_ROWS, LANES), pl_.dtype)], axis=0
+            [pl_, jnp.full((BLOCK_ROWS, LANES), fv, pl_.dtype)], axis=0
         )
-        for pl_ in planes
+        for pl_, fv in zip(planes, fills)
     ]
 
     k = tl.leaf_size
@@ -354,16 +397,37 @@ def pairs_any(tl, o, d, t_max, skip_light, max_pairs: int = 98304,
     )
     tri_spec = pl.BlockSpec((k, 128), lambda p, pb, pt: (pt[p], 0))
     tb_spec = pl.BlockSpec(tl.treelet_bounds.shape, lambda p, pb, pt: (0, 0))
+    chunk = min(CHUNK, max_pairs)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(max_pairs,),
+        grid=(chunk,),
         in_specs=[tb_spec, tri_spec] + [ray_spec] * 8,
         out_specs=[ray_spec],
     )
-    (occ,) = pl.pallas_call(
-        functools.partial(_pairs_any_kernel, leaf_size=k),
-        grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((out_rows, LANES), jnp.int32)],
-        interpret=interpret,
-    )(pair_block, pair_treelet, tl.treelet_bounds, tl.tris_padded, *planes)
-    return occ.reshape(-1)[:n] > 0, n_pairs
+
+    n_chunks = (max_pairs + chunk - 1) // chunk
+    occ_best = jnp.zeros((out_rows, LANES), jnp.int32)
+    for c in range(n_chunks):
+        pb_c = jax.lax.dynamic_slice(pair_block, (c * chunk,), (chunk,))
+        pt_c = jax.lax.dynamic_slice(pair_treelet, (c * chunk,), (chunk,))
+
+        def run_chunk(_):
+            (occ,) = pl.pallas_call(
+                functools.partial(_pairs_any_kernel, leaf_size=k),
+                grid_spec=grid_spec,
+                out_shape=[jax.ShapeDtypeStruct((out_rows, LANES), jnp.int32)],
+                interpret=interpret,
+            )(pb_c, pt_c, tl.treelet_bounds, tl.tris_padded, *planes)
+            return occ
+
+        def skip_chunk(_):
+            return jnp.zeros((out_rows, LANES), jnp.int32)
+
+        occ_c = jax.lax.cond(c * chunk < n_pairs, run_chunk, skip_chunk, None)
+        touched = jnp.zeros(out_rows // BLOCK_ROWS + 1, bool).at[
+            jnp.minimum(pb_c, out_rows // BLOCK_ROWS)
+        ].set(True, mode="drop")[: out_rows // BLOCK_ROWS]
+        touched_rows = jnp.repeat(touched, BLOCK_ROWS)[:, None]
+        occ_best = occ_best | jnp.where(touched_rows, occ_c, 0)
+
+    return occ_best.reshape(-1)[:n] > 0, n_pairs

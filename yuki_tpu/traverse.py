@@ -218,7 +218,7 @@ def intersect(scene, meta, o, d, t_max, with_stats: bool = False):
                 scene.treelets, o_s, d_s, t_s
             )
             return jax.lax.cond(
-                n_pairs > 98304,
+                n_pairs > 393216,
                 lambda _: treelet_closest(scene.treelets, o_s, d_s, t_s),
                 lambda _: (t_p, prim_p, b0_p, b1_p),
                 None,
@@ -265,7 +265,7 @@ def any_intersect(scene, meta, o, d, t_max, skip_light) -> jnp.ndarray:
         def run(o_s, d_s, t_s, skip_s):
             occ_p, n_pairs = pairs_any(scene.treelets, o_s, d_s, t_s, skip_s)
             occ_s = jax.lax.cond(
-                n_pairs > 98304,
+                n_pairs > 393216,
                 lambda _: treelet_any(scene.treelets, o_s, d_s, t_s, skip_s),
                 lambda _: occ_p,
                 None,
