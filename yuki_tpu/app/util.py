@@ -26,8 +26,13 @@ def try_load_scene(
     load_seconds)."""
     t0 = time.monotonic()
     path = load_settings.path
-    if not path:
+    if not path or path == "cornell":
         scene, cam, fs = cornell()
+        return scene, cam, fs, time.monotonic() - t0
+    if path == "colonnade":  # built-in Sponza-class benchmark scene
+        from ..scene.testscenes import colonnade
+
+        scene, cam, fs = colonnade()
         return scene, cam, fs, time.monotonic() - t0
 
     ext = Path(path).suffix.lower()

@@ -62,6 +62,9 @@ _PAGE = """<!DOCTYPE html>
  <label><input id="quarter" type="checkbox" style="width:auto"> 1/16 res preview</label>
  <button onclick="render()">Render</button>
  <button class="red" onclick="fetch('/kill', {method:'POST'})">Kill</button>
+ <button onclick="fetch('/save_exr', {method:'POST', body: JSON.stringify({tonemapped: false})})">EXR raw</button>
+ <button onclick="fetch('/save_exr', {method:'POST', body: JSON.stringify({tonemapped: true})})">EXR tonemapped</button>
+ <button onclick="fetch('/save_settings', {method:'POST'})">Save settings</button>
  <div id="status">idle</div>
  <h4>Debug</h4>
  <label>BVH vis level <input id="bvh_level" type="number" value="-1" min="-1" max="40"></label>
@@ -270,6 +273,21 @@ class ViewerState:
         segs = project_segments(self.last_camera, rx, ry, rays)
         return {"segments": segs, "res": [rx, ry]}
 
+    def save_exr(self, tonemapped: bool) -> str:
+        """EXR export (window.rs:943-982): raw sample-normalized radiance or
+        the tonemapped display image."""
+        from .util import write_exr
+
+        with self.lock:
+            if self.film is None:
+                return ""
+            img = self.film.image_device()
+            if tonemapped:
+                img = filmic(img, FilmicParams(exposure=self.exposure))
+        path = "render_tonemapped.exr" if tonemapped else "render.exr"
+        write_exr(path, np.asarray(img))
+        return path
+
     def image_png(self) -> bytes:
         from PIL import Image
 
@@ -340,6 +358,16 @@ def serve(settings: InitialSettings, port: int = 8000):
                 self._send(200, "application/json", json.dumps(out).encode())
             elif self.path == "/kill":
                 state.renderer.kill()
+                self._send(200, "application/json", b"{}")
+            elif self.path == "/save_exr":
+                cfg = json.loads(body or b"{}")
+                path = state.save_exr(bool(cfg.get("tonemapped")))
+                self._send(200, "application/json",
+                           json.dumps({"path": path}).encode())
+            elif self.path == "/save_settings":
+                from .settings import save_settings
+
+                save_settings(state.settings, "settings.yaml")
                 self._send(200, "application/json", b"{}")
             else:
                 self._send(404, "text/plain", b"")

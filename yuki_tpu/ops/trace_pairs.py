@@ -8,7 +8,7 @@ the kernel into dense XLA:
      each ray *block bundle* (origin box x direction box) against every
      treelet AABB — one fully-vectorized [B,T] op on the VPU — and
      compacts the survivors into a flat (block, treelet) pair list sorted
-     block-major (jnp.nonzero order).
+     block-major (cumsum + scatter; jnp.nonzero lowers pathologically).
   2. The Pallas kernel runs one grid step per pair.  A
      PrefetchScalarGridSpec prefetches the pair arrays so the BlockSpec
      index maps pick each step's ray block and treelet triangle rows —
@@ -18,6 +18,15 @@ the kernel into dense XLA:
      VMEM across its pairs, carrying the running closest-hit state; a
      cheap per-pair vector recheck of the treelet AABB against the
      *current* t skips far geometry as hits accumulate front-to-back.
+  3. Pair lists longer than one launch's SMEM budget run as multiple
+     CHUNK-sized launches (dead chunks skipped by lax.cond) whose
+     per-chunk results merge by min-t under a touched-block mask.
+
+Buffer packing matters: grid-step pipeline bookkeeping costs scale with
+the number of blocked operands, so the seven ray planes travel as ONE
+[rows, 896] array (static 128-wide column slices in-kernel) and the four
+closest-hit outputs as ONE [rows, 512] array (prim ids stored as exact
+small floats).
 
 This is the same shape as a block-sparse matmul over a prefetched index
 list — the TPU-idiomatic answer to "visit only the boxes you might hit".
@@ -35,11 +44,9 @@ from jax.experimental.pallas import tpu as pltpu
 from .trace import _watertight, F32_MAX, LANES
 
 BLOCK_ROWS = 8  # rays per block = BLOCK_ROWS * 128
-
-
-def _bundle_bounds(x):
-    """[B, R] -> per-block (min, max) [B]."""
-    return x.min(axis=1), x.max(axis=1)
+CHUNK = 8192  # pairs per launch: grid bookkeeping is ~us-scale per step,
+# so small cond-skipped chunks beat one SMEM-sized launch
+MAX_CHUNKS = 48  # total pair capacity per traversal = 393216
 
 
 def block_candidate_pairs(tl, o, d, t_max, max_pairs: int):
@@ -58,7 +65,6 @@ def block_candidate_pairs(tl, o, d, t_max, max_pairs: int):
 
     o_lo = jnp.stack([blocks_of(o[:, k]).min(axis=1) for k in range(3)], axis=1)
     o_hi = jnp.stack([blocks_of(o[:, k]).max(axis=1) for k in range(3)], axis=1)
-    # Pad directions with an existing direction so bundles don't widen.
     d_lo = jnp.stack(
         [blocks_of(d[:, k], cv=1.0).min(axis=1) for k in range(3)], axis=1
     )
@@ -79,12 +85,10 @@ def block_candidate_pairs(tl, o, d, t_max, max_pairs: int):
         whose sign interval spans zero give no constraint."""
         pos = dlo > 0.0
         neg = dhi < 0.0
-        # positive d: enter at lo slab, exit at hi slab
-        n_lo = lo_a - ohi  # min numerator for entry
+        n_lo = lo_a - ohi
         t_en_pos = n_lo / jnp.where(n_lo >= 0.0, dhi, dlo)
         m_hi = hi_a - olo
         t_ex_pos = m_hi / jnp.where(m_hi >= 0.0, dlo, dhi)
-        # negative d: mirror
         n_hi = hi_a - olo
         t_en_neg = n_hi / jnp.where(n_hi <= 0.0, dlo, dhi)
         m_lo = lo_a - ohi
@@ -126,36 +130,14 @@ def block_candidate_pairs(tl, o, d, t_max, max_pairs: int):
     return pair_block, pair_treelet, n_pairs, n_blocks
 
 
-def _pairs_kernel(
-    pb_ref, pt_ref,  # scalar-prefetch: pair block / treelet ids [P]
-    tb_ref,  # treelet bounds [T, 8] (VMEM, whole table)
-    tri_ref,  # this pair's treelet triangle rows (K, 128)
-    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
-    t_out, prim_out, b0_out, b1_out,
-    *, leaf_size: int,
-):
-    p = pl.program_id(0)
-    blk = pb_ref[p]
-    # First step for this output block: initialize the closest-hit state.
-    is_first = jnp.logical_or(
-        p == 0, pb_ref[jnp.maximum(p - 1, 0)] != blk
-    )
+def _ray_cols(rp_ref):
+    """Unpack the packed ray block [BLOCK_ROWS, 896] into 7 planes."""
+    return [rp_ref[:, k * 128 : (k + 1) * 128] for k in range(7)]
 
-    @pl.when(is_first)
-    def _():
-        t_out[:] = tmax_ref[:]
-        prim_out[:] = jnp.full(t_out.shape, -1, jnp.int32)
-        b0_out[:] = jnp.zeros(t_out.shape, jnp.float32)
-        b1_out[:] = jnp.zeros(t_out.shape, jnp.float32)
 
-    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
-    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
-
-    # Per-lane recheck against the *current* t (front-to-back DFS order
-    # shrinks t early): skip the triangle loop when no lane can improve.
-    tt = pt_ref[p]
+def _recheck(tb_ref, tt, ox, oy, oz, dx, dy, dz, t_cur):
+    """Per-lane slab test of treelet tt's AABB against current t."""
     ix, iy, iz = 1.0 / dx, 1.0 / dy, 1.0 / dz
-    t_cur0 = t_out[:]
     t0x = (tb_ref[tt, 0] - ox) * ix
     t1x = (tb_ref[tt, 3] - ox) * ix
     t0y = (tb_ref[tt, 1] - oy) * iy
@@ -170,179 +152,71 @@ def _pairs_kernel(
         jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
         jnp.maximum(t0z, t1z),
     )
-    alive = jnp.maximum(tmin, 0.0) <= jnp.minimum(tmax_box, t_cur0)
-
-    @pl.when(jnp.any(alive))
-    def _():
-        def tri_body(k, _):
-            cols = [tri_ref[k, c] for c in range(9)]
-            t_cur = t_out[:]
-            hit, ti, bi0, bi1 = _watertight(
-                ox, oy, oz, dx, dy, dz, t_cur, cols
-            )
-            pid = tri_ref[k, 10].astype(jnp.int32)
-            closer = hit & (ti < t_cur) & (pid >= 0)
-            t_out[:] = jnp.where(closer, ti, t_cur)
-            prim_out[:] = jnp.where(closer, pid, prim_out[:])
-            b0_out[:] = jnp.where(closer, bi0, b0_out[:])
-            b1_out[:] = jnp.where(closer, bi1, b1_out[:])
-            return 0
-
-        jax.lax.fori_loop(0, leaf_size, tri_body, 0)
+    return jnp.maximum(tmin, 0.0) <= jnp.minimum(tmax_box, t_cur)
 
 
-CHUNK = 8192  # pairs per launch: grid bookkeeping costs ~0.8us/step, so
-# small chunks + lax.cond-skipped dead chunks beat one SMEM-sized launch
-MAX_CHUNKS = 48  # total pair capacity per traversal = 393216
-
-
-@functools.partial(jax.jit, static_argnames=("max_pairs", "interpret"))
-def pairs_closest(tl, o, d, t_max, max_pairs: int = CHUNK * MAX_CHUNKS,
-                  interpret: bool = False):
-    """Closest hit via the pair-list walk.
-
-    The pair list is processed in CHUNK-sized kernel launches (the
-    scalar-prefetch arrays live in 1 MB SMEM) whose per-launch results
-    merge by min-t in XLA; launches whose chunk lies beyond n_pairs are
-    skipped with lax.cond.  Returns (t, prim, b0, b1, n_pairs) — caller
-    falls back to treelet_closest when n_pairs exceeds max_pairs."""
-    n = o.shape[0]
-    pair_block, pair_treelet, n_pairs, n_blocks = block_candidate_pairs(
-        tl, o, d, t_max, max_pairs
-    )
-    rows = n_blocks * BLOCK_ROWS
-    pad = rows * LANES - n
-
-    def plane(x, cv=0.0):
-        return jnp.pad(x, (0, pad), constant_values=cv).reshape(rows, LANES)
-
-    planes = [plane(o[:, k]) for k in range(3)]
-    planes += [plane(d[:, k], cv=1.0) for k in range(3)]
-    planes.append(plane(t_max))
-
-    k = tl.leaf_size
-    # One dummy block row is appended for padded pairs (block id == B).
-    out_rows = rows + BLOCK_ROWS
-
-    ray_spec = pl.BlockSpec(
-        (BLOCK_ROWS, LANES),
-        lambda p, pb, pt: (jnp.minimum(pb[p], out_rows // BLOCK_ROWS - 1), 0),
-    )
-    tri_spec = pl.BlockSpec((k, 128), lambda p, pb, pt: (pt[p], 0))
-    tb_spec = pl.BlockSpec(tl.treelet_bounds.shape, lambda p, pb, pt: (0, 0))
-    chunk = min(CHUNK, max_pairs)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(chunk,),
-        in_specs=[tb_spec, tri_spec] + [ray_spec] * 7,
-        out_specs=[ray_spec] * 4,
-    )
-    out_f = jax.ShapeDtypeStruct((out_rows, LANES), jnp.float32)
-    # Ray planes padded with a dummy block row whose t_max is -1, so padded
-    # pairs fail the in-kernel recheck and skip their triangle loops —
-    # otherwise every unused grid step up to CHUNK does real work.
-    fills = [1.0, 1.0, 1.0, 1.0, 1.0, 1.0, -1.0]
-    planes = [
-        jnp.concatenate(
-            [pl_, jnp.full((BLOCK_ROWS, LANES), fv, pl_.dtype)], axis=0
-        )
-        for pl_, fv in zip(planes, fills)
-    ]
-
-    n_chunks = (max_pairs + chunk - 1) // chunk
-    best_t = jnp.concatenate(
-        [plane(t_max), jnp.full((BLOCK_ROWS, LANES), -1.0)], axis=0
-    )
-    best_prim = jnp.full((out_rows, LANES), -1, jnp.int32)
-    best_b0 = jnp.zeros((out_rows, LANES), jnp.float32)
-    best_b1 = jnp.zeros((out_rows, LANES), jnp.float32)
-
-    for c in range(n_chunks):
-        pb_c = jax.lax.dynamic_slice(pair_block, (c * chunk,), (chunk,))
-        pt_c = jax.lax.dynamic_slice(pair_treelet, (c * chunk,), (chunk,))
-
-        def run_chunk(_):
-            return pl.pallas_call(
-                functools.partial(_pairs_kernel, leaf_size=k),
-                grid_spec=grid_spec,
-                out_shape=[
-                    out_f,
-                    jax.ShapeDtypeStruct((out_rows, LANES), jnp.int32),
-                    out_f,
-                    out_f,
-                ],
-                interpret=interpret,
-            )(pb_c, pt_c, tl.treelet_bounds, tl.tris_padded, *planes)
-
-        def skip_chunk(_):
-            return (
-                jnp.full((out_rows, LANES), F32_MAX, jnp.float32),
-                jnp.full((out_rows, LANES), -1, jnp.int32),
-                jnp.zeros((out_rows, LANES), jnp.float32),
-                jnp.zeros((out_rows, LANES), jnp.float32),
-            )
-
-        t_c, p_c, b0_c, b1_c = jax.lax.cond(
-            c * chunk < n_pairs, run_chunk, skip_chunk, None
-        )
-        # Blocks untouched by this chunk hold uninitialized memory: merge
-        # only rows whose block actually appeared in the chunk's pair list.
-        touched = jnp.zeros(out_rows // BLOCK_ROWS + 1, bool).at[
-            jnp.minimum(pb_c, out_rows // BLOCK_ROWS)
-        ].set(True, mode="drop")[: out_rows // BLOCK_ROWS]
-        touched_rows = jnp.repeat(touched, BLOCK_ROWS)[:, None]
-        better = touched_rows & (t_c < best_t)
-        best_t = jnp.where(better, t_c, best_t)
-        best_prim = jnp.where(better, p_c, best_prim)
-        best_b0 = jnp.where(better, b0_c, best_b0)
-        best_b1 = jnp.where(better, b1_c, best_b1)
-
-    return (
-        best_t.reshape(-1)[:n],
-        best_prim.reshape(-1)[:n],
-        best_b0.reshape(-1)[:n],
-        best_b1.reshape(-1)[:n],
-        n_pairs,
-    )
-
-
-def _pairs_any_kernel(
-    pb_ref, pt_ref,
-    tb_ref, tri_ref,
-    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref, skip_ref,
-    occ_out,
+def _pairs_kernel(
+    pb_ref, pt_ref,  # scalar-prefetch: pair block / treelet ids [P]
+    tb_ref,  # treelet bounds [T, 8] (VMEM, whole table)
+    tri_ref,  # this pair's treelet triangle rows (K, 128)
+    rp_ref,  # packed ray planes (BLOCK_ROWS, 896)
+    out_ref,  # packed outputs (BLOCK_ROWS, 512): t | prim(f32) | b0 | b1
     *, leaf_size: int,
 ):
     p = pl.program_id(0)
     blk = pb_ref[p]
     is_first = jnp.logical_or(p == 0, pb_ref[jnp.maximum(p - 1, 0)] != blk)
+    ox, oy, oz, dx, dy, dz, tmax = _ray_cols(rp_ref)
+
+    @pl.when(is_first)
+    def _():
+        out_ref[:, 0:128] = tmax
+        out_ref[:, 128:256] = jnp.full(tmax.shape, -1.0, jnp.float32)
+        out_ref[:, 256:512] = jnp.zeros((tmax.shape[0], 256), jnp.float32)
+
+    tt = pt_ref[p]
+    alive = _recheck(tb_ref, tt, ox, oy, oz, dx, dy, dz, out_ref[:, 0:128])
+
+    @pl.when(jnp.any(alive))
+    def _():
+        def tri_body(k, _):
+            cols = [tri_ref[k, c] for c in range(9)]
+            t_cur = out_ref[:, 0:128]
+            hit, ti, bi0, bi1 = _watertight(
+                ox, oy, oz, dx, dy, dz, t_cur, cols
+            )
+            pid = tri_ref[k, 10]
+            # pid < 0 marks padding rows; FMA contraction can give
+            # degenerate zero-area padding a nonzero edge function.
+            closer = hit & (ti < t_cur) & (pid >= 0.0)
+            out_ref[:, 0:128] = jnp.where(closer, ti, t_cur)
+            out_ref[:, 128:256] = jnp.where(closer, pid, out_ref[:, 128:256])
+            out_ref[:, 256:384] = jnp.where(closer, bi0, out_ref[:, 256:384])
+            out_ref[:, 384:512] = jnp.where(closer, bi1, out_ref[:, 384:512])
+            return 0
+
+        jax.lax.fori_loop(0, leaf_size, tri_body, 0)
+
+
+def _pairs_any_kernel(
+    pb_ref, pt_ref,
+    tb_ref, tri_ref,
+    rp_ref,  # packed (BLOCK_ROWS, 1024): 7 planes + skip
+    occ_out,  # (BLOCK_ROWS, 128) i32
+    *, leaf_size: int,
+):
+    p = pl.program_id(0)
+    blk = pb_ref[p]
+    is_first = jnp.logical_or(p == 0, pb_ref[jnp.maximum(p - 1, 0)] != blk)
+    ox, oy, oz, dx, dy, dz, t_max = _ray_cols(rp_ref)
+    skip = rp_ref[:, 896:1024]
 
     @pl.when(is_first)
     def _():
         occ_out[:] = jnp.zeros(occ_out.shape, jnp.int32)
 
-    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
-    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
-    t_max = tmax_ref[:]
-    skip = skip_ref[:].astype(jnp.float32)
-
     tt = pt_ref[p]
-    ix, iy, iz = 1.0 / dx, 1.0 / dy, 1.0 / dz
-    t0x = (tb_ref[tt, 0] - ox) * ix
-    t1x = (tb_ref[tt, 3] - ox) * ix
-    t0y = (tb_ref[tt, 1] - oy) * iy
-    t1y = (tb_ref[tt, 4] - oy) * iy
-    t0z = (tb_ref[tt, 2] - oz) * iz
-    t1z = (tb_ref[tt, 5] - oz) * iz
-    tmin = jnp.maximum(
-        jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
-        jnp.minimum(t0z, t1z),
-    )
-    tmax_box = jnp.minimum(
-        jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
-        jnp.maximum(t0z, t1z),
-    )
-    alive = (jnp.maximum(tmin, 0.0) <= jnp.minimum(tmax_box, t_max)) & (
+    alive = _recheck(tb_ref, tt, ox, oy, oz, dx, dy, dz, t_max) & (
         occ_out[:] == 0
     )
 
@@ -360,49 +234,150 @@ def _pairs_any_kernel(
         jax.lax.fori_loop(0, leaf_size, tri_body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("max_pairs", "interpret"))
-def pairs_any(tl, o, d, t_max, skip_light, max_pairs: int = CHUNK * MAX_CHUNKS,
-              interpret: bool = False):
-    """Occlusion via the chunked pair-list walk. Returns (occluded [N]
-    bool, n_pairs) — caller falls back when n_pairs > max_pairs."""
+def _pack_rays(o, d, t_max, n_blocks, extra=None):
+    """Rays -> one packed [rows+BLOCK_ROWS, 7*128 (+128)] array with a dummy
+    trailing block whose t_max=-1 (padded pairs fail the recheck)."""
     n = o.shape[0]
-    pair_block, pair_treelet, n_pairs, n_blocks = block_candidate_pairs(
-        tl, o, d, t_max, max_pairs
-    )
     rows = n_blocks * BLOCK_ROWS
     pad = rows * LANES - n
 
     def plane(x, cv=0.0):
         return jnp.pad(x, (0, pad), constant_values=cv).reshape(rows, LANES)
 
-    planes = [plane(o[:, k]) for k in range(3)]
-    planes += [plane(d[:, k], cv=1.0) for k in range(3)]
-    planes.append(plane(t_max))
-    planes.append(
-        jnp.pad(skip_light, (0, pad), constant_values=-2).reshape(rows, LANES)
-    )
-    fills = [1.0, 1.0, 1.0, 1.0, 1.0, 1.0, -1.0, -2]
-    planes = [
-        jnp.concatenate(
-            [pl_, jnp.full((BLOCK_ROWS, LANES), fv, pl_.dtype)], axis=0
+    cols = [plane(o[:, k]) for k in range(3)]
+    cols += [plane(d[:, k], cv=1.0) for k in range(3)]
+    cols.append(plane(t_max))
+    fills = [1.0, 1.0, 1.0, 1.0, 1.0, 1.0, -1.0]
+    if extra is not None:
+        cols.append(
+            jnp.pad(extra, (0, pad), constant_values=-2).reshape(rows, LANES)
         )
-        for pl_, fv in zip(planes, fills)
-    ]
+        fills.append(-2.0)
+    packed = jnp.concatenate(
+        [
+            jnp.concatenate(
+                [c, jnp.full((BLOCK_ROWS, LANES), fv, c.dtype)], axis=0
+            )
+            for c, fv in zip(cols, fills)
+        ],
+        axis=1,
+    )
+    return packed.astype(jnp.float32), n
 
-    k = tl.leaf_size
-    out_rows = rows + BLOCK_ROWS
+
+def _specs(tl, out_rows, k, n_planes):
     ray_spec = pl.BlockSpec(
-        (BLOCK_ROWS, LANES),
+        (BLOCK_ROWS, n_planes * LANES),
         lambda p, pb, pt: (jnp.minimum(pb[p], out_rows // BLOCK_ROWS - 1), 0),
     )
     tri_spec = pl.BlockSpec((k, 128), lambda p, pb, pt: (pt[p], 0))
     tb_spec = pl.BlockSpec(tl.treelet_bounds.shape, lambda p, pb, pt: (0, 0))
+    return ray_spec, tri_spec, tb_spec
+
+
+def _out_spec(out_rows, width):
+    return pl.BlockSpec(
+        (BLOCK_ROWS, width),
+        lambda p, pb, pt: (jnp.minimum(pb[p], out_rows // BLOCK_ROWS - 1), 0),
+    )
+
+
+def _touched_rows(pb_c, out_rows):
+    touched = jnp.zeros(out_rows // BLOCK_ROWS + 1, bool).at[
+        jnp.minimum(pb_c, out_rows // BLOCK_ROWS)
+    ].set(True, mode="drop")[: out_rows // BLOCK_ROWS]
+    return jnp.repeat(touched, BLOCK_ROWS)[:, None]
+
+
+@functools.partial(jax.jit, static_argnames=("max_pairs", "interpret"))
+def pairs_closest(tl, o, d, t_max, max_pairs: int = CHUNK * MAX_CHUNKS,
+                  interpret: bool = False):
+    """Closest hit via the chunked pair-list walk. Returns (t, prim, b0,
+    b1, n_pairs) — caller falls back when n_pairs exceeds max_pairs."""
+    n = o.shape[0]
+    pair_block, pair_treelet, n_pairs, n_blocks = block_candidate_pairs(
+        tl, o, d, t_max, max_pairs
+    )
+    packed, _ = _pack_rays(o, d, t_max, n_blocks)
+    k = tl.leaf_size
+    out_rows = (n_blocks + 1) * BLOCK_ROWS
+    ray_spec, tri_spec, tb_spec = _specs(tl, out_rows, k, 7)
     chunk = min(CHUNK, max_pairs)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(chunk,),
-        in_specs=[tb_spec, tri_spec] + [ray_spec] * 8,
-        out_specs=[ray_spec],
+        in_specs=[tb_spec, tri_spec, ray_spec],
+        out_specs=[_out_spec(out_rows, 512)],
+    )
+
+    n_chunks = (max_pairs + chunk - 1) // chunk
+    # best: packed [out_rows, 512] with t initialized to this ray's t_max.
+    tmax_rows = jnp.concatenate(
+        [packed[:, 6 * 128 : 7 * 128]], axis=1
+    )
+    best = jnp.concatenate(
+        [
+            tmax_rows,
+            jnp.full((out_rows, 128), -1.0, jnp.float32),
+            jnp.zeros((out_rows, 256), jnp.float32),
+        ],
+        axis=1,
+    )
+
+    for c in range(n_chunks):
+        pb_c = jax.lax.dynamic_slice(pair_block, (c * chunk,), (chunk,))
+        pt_c = jax.lax.dynamic_slice(pair_treelet, (c * chunk,), (chunk,))
+
+        def run_chunk(_):
+            (out,) = pl.pallas_call(
+                functools.partial(_pairs_kernel, leaf_size=k),
+                grid_spec=grid_spec,
+                out_shape=[
+                    jax.ShapeDtypeStruct((out_rows, 512), jnp.float32)
+                ],
+                interpret=interpret,
+            )(pb_c, pt_c, tl.treelet_bounds, tl.tris_padded, packed)
+            return out
+
+        def skip_chunk(_):
+            return jnp.full((out_rows, 512), F32_MAX, jnp.float32)
+
+        out_c = jax.lax.cond(c * chunk < n_pairs, run_chunk, skip_chunk, None)
+        better = _touched_rows(pb_c, out_rows) & (
+            out_c[:, 0:128] < best[:, 0:128]
+        )
+        best = jnp.where(
+            jnp.concatenate([better] * 4, axis=1), out_c, best
+        )
+
+    return (
+        best[:, 0:128].reshape(-1)[:n],
+        best[:, 128:256].astype(jnp.int32).reshape(-1)[:n],
+        best[:, 256:384].reshape(-1)[:n],
+        best[:, 384:512].reshape(-1)[:n],
+        n_pairs,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("max_pairs", "interpret"))
+def pairs_any(tl, o, d, t_max, skip_light, max_pairs: int = CHUNK * MAX_CHUNKS,
+              interpret: bool = False):
+    """Occlusion via the chunked pair-list walk. Returns (occluded [N]
+    bool, n_pairs)."""
+    n = o.shape[0]
+    pair_block, pair_treelet, n_pairs, n_blocks = block_candidate_pairs(
+        tl, o, d, t_max, max_pairs
+    )
+    packed, _ = _pack_rays(o, d, t_max, n_blocks, extra=skip_light)
+    k = tl.leaf_size
+    out_rows = (n_blocks + 1) * BLOCK_ROWS
+    ray_spec, tri_spec, tb_spec = _specs(tl, out_rows, k, 8)
+    chunk = min(CHUNK, max_pairs)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(chunk,),
+        in_specs=[tb_spec, tri_spec, ray_spec],
+        out_specs=[_out_spec(out_rows, LANES)],
     )
 
     n_chunks = (max_pairs + chunk - 1) // chunk
@@ -417,17 +392,13 @@ def pairs_any(tl, o, d, t_max, skip_light, max_pairs: int = CHUNK * MAX_CHUNKS,
                 grid_spec=grid_spec,
                 out_shape=[jax.ShapeDtypeStruct((out_rows, LANES), jnp.int32)],
                 interpret=interpret,
-            )(pb_c, pt_c, tl.treelet_bounds, tl.tris_padded, *planes)
+            )(pb_c, pt_c, tl.treelet_bounds, tl.tris_padded, packed)
             return occ
 
         def skip_chunk(_):
             return jnp.zeros((out_rows, LANES), jnp.int32)
 
         occ_c = jax.lax.cond(c * chunk < n_pairs, run_chunk, skip_chunk, None)
-        touched = jnp.zeros(out_rows // BLOCK_ROWS + 1, bool).at[
-            jnp.minimum(pb_c, out_rows // BLOCK_ROWS)
-        ].set(True, mode="drop")[: out_rows // BLOCK_ROWS]
-        touched_rows = jnp.repeat(touched, BLOCK_ROWS)[:, None]
-        occ_best = occ_best | jnp.where(touched_rows, occ_c, 0)
+        occ_best = occ_best | jnp.where(_touched_rows(pb_c, out_rows), occ_c, 0)
 
     return occ_best.reshape(-1)[:n] > 0, n_pairs

@@ -190,9 +190,11 @@ def colonnade(
     b.add_distant_light((2.0, 1.9, 1.7), (0.35, 0.8, 0.2))
 
     scene = b.build(split_method="sah", max_shapes_in_node=4)
+    # Look down the aisle between column rows (columns sit on z multiples
+    # of 3; z=1.5 threads between them).
     cam = CameraParameters(
-        position=(-ax / 2 - 1.5, 1.8, 0.0),
-        target=(ax / 2, 2.2, 0.0),
+        position=(-ax / 2 - 2.5, 1.8, 1.5),
+        target=(ax / 2, 2.4, 1.5),
         fov=FoV.x(65.0),
     )
     return scene, cam, FilmSettings(res=(1920, 1080))
