@@ -127,3 +127,28 @@ class TestRenderer:
             imgs.append(film.image())
             r.kill()
         assert np.array_equal(imgs[0], imgs[1])
+
+
+class TestMultiDevice:
+    def test_renderer_uses_all_devices(self, scene_and_cam):
+        """On the 8-virtual-device CPU mesh the render manager shards waves
+        across devices and still produces the exact single-device image
+        (stateless samplers make this bitwise)."""
+        import jax
+
+        assert len(jax.devices()) == 8  # conftest forces the virtual mesh
+        scene, cam = scene_and_cam
+        fs = FilmSettings(res=(64, 48), tile_dim=16)
+        imgs = []
+        for single in (True, False):
+            film = film_or_new(None, fs)
+            r = Renderer()
+            r.launch(scene, cam, film, UniformSampler(1), PathParams(2), fs,
+                     RenderSettings(wave_tiles=8,
+                                    use_single_render_thread=single),
+                     match_seed=5)
+            msgs = run_to_completion(r)
+            assert isinstance(msgs[-1], RenderFinished)
+            imgs.append(film.image())
+            r.kill()
+        assert np.array_equal(imgs[0], imgs[1])

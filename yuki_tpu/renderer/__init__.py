@@ -244,9 +244,33 @@ def _render_job_inner(
     wave_tiles = 1 if render_settings.use_single_render_thread else max(
         1, min(render_settings.wave_tiles, len(tiles))
     )
-    render_fn = make_wave_renderer(
-        scene, camera, sampler, integrator, td, wave_tiles
-    )
+    # Multi-chip: shard the wave's tiles across all local devices (the
+    # reference's worker pool, render_manager.rs:197-244, becomes a mesh
+    # axis).  Debug integrators stay single-device.
+    import jax as _jax
+
+    n_dev = len(_jax.devices())
+    if (
+        n_dev > 1
+        and not render_settings.use_single_render_thread
+        and not isinstance(integrator, str)
+    ):
+        from ..parallel import default_mesh, make_sharded_wave_renderer
+
+        wave_tiles = max(n_dev, (wave_tiles // n_dev) * n_dev)
+        mesh = default_mesh(n_tiles_axis=n_dev, n_samples_axis=1)
+        sharded = make_sharded_wave_renderer(
+            scene, camera, sampler, integrator, td, mesh,
+            samples_per_launch=1,
+        )
+
+        def render_fn(origins, sample_index, seed):
+            return sharded(origins, jnp.int32(sample_index), seed)
+
+    else:
+        render_fn = make_wave_renderer(
+            scene, camera, sampler, integrator, td, wave_tiles
+        )
 
     start = time.monotonic()
     total_rays = 0
