@@ -46,7 +46,10 @@ from .trace import _watertight, F32_MAX, LANES
 BLOCK_ROWS = 8  # rays per block = BLOCK_ROWS * 128
 CHUNK = 8192  # pairs per launch: grid bookkeeping is ~us-scale per step,
 # so small cond-skipped chunks beat one SMEM-sized launch
-MAX_CHUNKS = 48  # total pair capacity per traversal = 393216
+MAX_CHUNKS = 48  # pair capacity 393216/traversal (bounce waves at 64k
+# rays measured up to ~200k pairs in the colonnade; each chunk adds a
+# cond+pallas_call to the graph, trading capacity against compile time —
+# 12 chunks measured a 35% e2e regression from overflow fallbacks)
 
 
 def block_candidate_pairs(tl, o, d, t_max, max_pairs: int):
