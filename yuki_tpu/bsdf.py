@@ -57,7 +57,7 @@ def roughness_to_alpha(roughness: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def gather_materials(scene, si: Surface) -> MatParams:
+def gather_materials(scene, si: Surface, meta=None) -> MatParams:
     mats = scene.materials
     mid = jnp.maximum(si.material, 0)
     # One wide gather (MaterialArrays.packed) instead of six narrow ones.
@@ -68,6 +68,8 @@ def gather_materials(scene, si: Surface) -> MatParams:
     s0 = row[..., 7]
     remap = row[..., 8] > 0.5
     tex0 = row[..., 9].astype(jnp.int32)
+    if meta is not None and not meta.has_textures:
+        tex0 = jnp.full_like(tex0, -1)
     # Texture-resolve c0 (kd) where a texture is bound.
     tex_val = eval_texture(scene.textures, jnp.maximum(tex0, 0), si.uv)
     c0 = jnp.where((tex0 >= 0)[..., None], tex_val, c0)
@@ -241,10 +243,14 @@ def _microfacet_fresnel(mp: MatParams, wo_l, wi_l):
 # --- matte diffuse term --------------------------------------------------
 
 
-def _matte_f(mp: MatParams, wo_l, wi_l):
+def _matte_f(mp: MatParams, wo_l, wi_l, meta=None):
     """Lambertian when sigma==0, Oren-Nayar otherwise (matte.rs:22-41);
-    both share kd*INV_PI scaling."""
+    both share kd*INV_PI scaling.  When the scene's static metadata says no
+    matte material has sigma>0, the Oren-Nayar branch is skipped at trace
+    time entirely."""
     lam = mp.c0 * INV_PI
+    if meta is not None and not meta.has_sigma:
+        return jnp.where(is_black(mp.c0)[..., None], 0.0, lam)
     sigma2 = mp.s0 * mp.s0
     a = 1.0 - sigma2 / (2.0 * (sigma2 + 0.33))
     b = 0.45 * sigma2 / (sigma2 + 0.09)
@@ -271,26 +277,34 @@ def _matte_f(mp: MatParams, wo_l, wi_l):
 # --- public API ----------------------------------------------------------
 
 
-def bsdf_f(mp: MatParams, si: Surface, wo_w, wi_w) -> jnp.ndarray:
+def bsdf_f(mp: MatParams, si: Surface, wo_w, wi_w, meta=None) -> jnp.ndarray:
     """Bsdf::f with BxdfType::all() (bsdfs/mod.rs:125-147): sums lobes that
-    match the geometric-normal reflect/transmit side."""
+    match the geometric-normal reflect/transmit side.  Material families
+    absent from the scene (static metadata) are skipped at trace time."""
     wo_l = to_local(si, wo_w)
     wi_l = to_local(si, wi_w)
     reflect = (dot(wi_w, si.n) * dot(wo_w, si.n)) > 0.0
 
-    f_matte = _matte_f(mp, wo_l, wi_l)
-    fr = _microfacet_fresnel(mp, wo_l, wi_l)
-    f_micro = _microfacet_f(wo_l, wi_l, mp.alpha, fr)
+    present = (
+        set(meta.material_types) if meta is not None
+        else {MAT_MATTE, MAT_GLASS, MAT_METAL, MAT_GLOSSY}
+    )
+    has_matte = MAT_MATTE in present
+    has_micro = (MAT_METAL in present) or (MAT_GLOSSY in present)
 
-    f = jnp.where(
-        (mp.mtype == MAT_MATTE)[..., None],
-        f_matte,
-        jnp.where(
+    f = jnp.zeros_like(mp.c0)
+    if has_matte:
+        f_matte = _matte_f(mp, wo_l, wi_l, meta)
+        f = jnp.where((mp.mtype == MAT_MATTE)[..., None], f_matte, f)
+    if has_micro:
+        fr = _microfacet_fresnel(mp, wo_l, wi_l)
+        f_micro = _microfacet_f(wo_l, wi_l, mp.alpha, fr)
+        f = jnp.where(
             ((mp.mtype == MAT_METAL) | (mp.mtype == MAT_GLOSSY))[..., None],
             f_micro,
-            0.0,  # glass: both lobes specular -> f() sees nothing
-        ),
-    )
+            f,
+        )
+    # Glass: both lobes specular -> f() sees nothing.
     # All non-glass lobes are REFLECTION lobes: zero on the transmit side.
     return jnp.where(reflect[..., None], f, 0.0)
 
@@ -304,69 +318,97 @@ class BsdfSample(NamedTuple):
     valid: jnp.ndarray  # [N] bool (pdf>0 and matched a lobe)
 
 
-def bsdf_sample(mp: MatParams, si: Surface, wo_w, u) -> BsdfSample:
-    """Bsdf::sample_f with BxdfType::all() (bsdfs/mod.rs:150-222)."""
+def bsdf_sample(mp: MatParams, si: Surface, wo_w, u, meta=None) -> BsdfSample:
+    """Bsdf::sample_f with BxdfType::all() (bsdfs/mod.rs:150-222).
+
+    When `meta` (SceneMeta) is given, whole material-family branches the
+    scene never instantiates are dropped at trace time — the per-lane
+    masked-select design means an absent family otherwise still costs its
+    full lobe math on every lane of every bounce.
+    """
     wo_l = to_local(si, wo_w)
 
-    # -- matte branch (single diffuse lobe) --
-    wi_mat = cosine_sample_hemisphere(u)
-    wi_mat = jnp.where(
-        (wo_l[..., 2] < 0.0)[..., None],
-        wi_mat * jnp.array([1.0, 1.0, -1.0]),
-        wi_mat,
+    present = (
+        set(meta.material_types) if meta is not None
+        else {MAT_MATTE, MAT_GLASS, MAT_METAL, MAT_GLOSSY}
     )
-    pdf_mat = jnp.abs(_cos_theta(wi_mat)) * INV_PI
-    f_mat = _matte_f(mp, wo_l, wi_mat)
+    has_matte = MAT_MATTE in present
+    has_glass = MAT_GLASS in present
+    has_micro = (MAT_METAL in present) or (MAT_GLOSSY in present)
+
+    zero3 = jnp.zeros_like(wo_l)
+    zero1 = jnp.zeros_like(wo_l[..., 0])
+
+    # -- matte branch (single diffuse lobe) --
+    if has_matte:
+        wi_mat = cosine_sample_hemisphere(u)
+        wi_mat = jnp.where(
+            (wo_l[..., 2] < 0.0)[..., None],
+            wi_mat * jnp.array([1.0, 1.0, -1.0]),
+            wi_mat,
+        )
+        pdf_mat = jnp.abs(_cos_theta(wi_mat)) * INV_PI
+        f_mat = _matte_f(mp, wo_l, wi_mat, meta)
+    else:
+        wi_mat, pdf_mat, f_mat = zero3, zero1, zero3
 
     # -- glass branch (two specular lobes, pick by u0) --
     pick_refl = u[..., 0] < 0.5  # floor(u0*2) == 0
-    # reflection lobe (specular.rs:25-36)
-    wi_re = jnp.stack([-wo_l[..., 0], -wo_l[..., 1], wo_l[..., 2]], axis=-1)
-    ct_re = _cos_theta(wi_re)
-    fr_re = fresnel_dielectric(ct_re, 1.0, mp.s0)
-    f_re = mp.c0 * (fr_re / jnp.maximum(jnp.abs(ct_re), 1e-30))[..., None]
-    # transmission lobe (specular.rs:69-95): n=(0,0,1) faceforwarded to wo
-    entering = _cos_theta(wo_l) > 0.0
-    eta_i = jnp.where(entering, 1.0, mp.s0)
-    eta_t = jnp.where(entering, mp.s0, 1.0)
-    eta = eta_i / eta_t
-    n_ff = jnp.where(entering, 1.0, -1.0)  # z of faceforwarded normal
-    cti = n_ff * _cos_theta(wo_l)  # = |cos|
-    s2ti = jnp.maximum(0.0, 1.0 - cti * cti)
-    s2tt = eta * eta * s2ti
-    tir = s2tt >= 1.0
-    ctt = jnp.sqrt(jnp.maximum(0.0, 1.0 - s2tt))
-    wi_tr = -wo_l * eta[..., None] + jnp.stack(
-        [jnp.zeros_like(eta), jnp.zeros_like(eta), n_ff], axis=-1
-    ) * (eta * cti - ctt)[..., None]
-    ct_tr = _cos_theta(wi_tr)
-    fr_tr = fresnel_dielectric(ct_tr, 1.0, mp.s0)
-    f_tr = mp.c1 * ((1.0 - fr_tr) / jnp.maximum(jnp.abs(ct_tr), 1e-30))[..., None]
-    f_tr = jnp.where(tir[..., None], 0.0, f_tr)
+    if not has_glass:
+        tir = jnp.zeros_like(pick_refl)
+        wi_gl, f_gl, pdf_gl = zero3, zero3, zero1
+    else:
+        # reflection lobe (specular.rs:25-36)
+        wi_re = jnp.stack([-wo_l[..., 0], -wo_l[..., 1], wo_l[..., 2]], axis=-1)
+        ct_re = _cos_theta(wi_re)
+        fr_re = fresnel_dielectric(ct_re, 1.0, mp.s0)
+        f_re = mp.c0 * (fr_re / jnp.maximum(jnp.abs(ct_re), 1e-30))[..., None]
+        # transmission lobe (specular.rs:69-95): n=(0,0,1) faceforwarded
+        entering = _cos_theta(wo_l) > 0.0
+        eta_i = jnp.where(entering, 1.0, mp.s0)
+        eta_t = jnp.where(entering, mp.s0, 1.0)
+        eta = eta_i / eta_t
+        n_ff = jnp.where(entering, 1.0, -1.0)  # z of faceforwarded normal
+        cti = n_ff * _cos_theta(wo_l)  # = |cos|
+        s2ti = jnp.maximum(0.0, 1.0 - cti * cti)
+        s2tt = eta * eta * s2ti
+        tir = s2tt >= 1.0
+        ctt = jnp.sqrt(jnp.maximum(0.0, 1.0 - s2tt))
+        wi_tr = -wo_l * eta[..., None] + jnp.stack(
+            [jnp.zeros_like(eta), jnp.zeros_like(eta), n_ff], axis=-1
+        ) * (eta * cti - ctt)[..., None]
+        ct_tr = _cos_theta(wi_tr)
+        fr_tr = fresnel_dielectric(ct_tr, 1.0, mp.s0)
+        f_tr = mp.c1 * (
+            (1.0 - fr_tr) / jnp.maximum(jnp.abs(ct_tr), 1e-30)
+        )[..., None]
+        f_tr = jnp.where(tir[..., None], 0.0, f_tr)
 
-    wi_gl = jnp.where(pick_refl[..., None], wi_re, wi_tr)
-    f_gl = jnp.where(pick_refl[..., None], f_re, f_tr)
-    gl_valid = pick_refl | ~tir
-    pdf_gl = jnp.where(gl_valid, 0.5, 0.0)  # pdf 1 / matching_comps 2
+        wi_gl = jnp.where(pick_refl[..., None], wi_re, wi_tr)
+        f_gl = jnp.where(pick_refl[..., None], f_re, f_tr)
+        gl_valid = pick_refl | ~tir
+        pdf_gl = jnp.where(gl_valid, 0.5, 0.0)  # pdf 1 / matching_comps 2
 
     # -- microfacet branch (metal/glossy) --
-    alpha = mp.alpha
-    wh = ggx_sample_wh(wo_l, u, alpha)
-    wi_mf = -wo_l + wh * (2.0 * dot(wo_l, wh))[..., None]
-    mf_valid = (
-        (wo_l[..., 2] != 0.0)
-        & (dot(wo_l, wh) >= 0.0)
-        & _same_hemisphere(wo_l, wi_mf)
-    )
-    pdf_mf = ggx_pdf(wh, alpha) / jnp.maximum(4.0 * dot(wo_l, wh), 1e-30)
-    fr_mf = _microfacet_fresnel(mp, wo_l, wi_mf)
-    f_mf = _microfacet_f(wo_l, wi_mf, alpha, fr_mf)
-    pdf_mf = jnp.where(mf_valid, pdf_mf, 0.0)
-    f_mf = jnp.where(mf_valid[..., None], f_mf, 0.0)
+    if has_micro:
+        alpha = mp.alpha
+        wh = ggx_sample_wh(wo_l, u, alpha)
+        wi_mf = -wo_l + wh * (2.0 * dot(wo_l, wh))[..., None]
+        mf_valid = (
+            (wo_l[..., 2] != 0.0)
+            & (dot(wo_l, wh) >= 0.0)
+            & _same_hemisphere(wo_l, wi_mf)
+        )
+        pdf_mf = ggx_pdf(wh, alpha) / jnp.maximum(4.0 * dot(wo_l, wh), 1e-30)
+        fr_mf = _microfacet_fresnel(mp, wo_l, wi_mf)
+        f_mf = _microfacet_f(wo_l, wi_mf, alpha, fr_mf)
+        pdf_mf = jnp.where(mf_valid, pdf_mf, 0.0)
+        f_mf = jnp.where(mf_valid[..., None], f_mf, 0.0)
+    else:
+        wi_mf, f_mf, pdf_mf = zero3, zero3, zero1
 
     is_matte = mp.mtype == MAT_MATTE
     is_glass = mp.mtype == MAT_GLASS
-    is_micro = (mp.mtype == MAT_METAL) | (mp.mtype == MAT_GLOSSY)
 
     wi_l = jnp.where(
         is_matte[..., None],

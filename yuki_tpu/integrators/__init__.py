@@ -58,7 +58,7 @@ def _nee(scene, meta, sampler: Sampler, ctx: SampleCtx, si: Surface,
         u = sampler.get_2d(ctx, dim)
         dim = dim + 2
         ls = lights_mod.sample_li(scene, li_idx, ltype, si, u)
-        f = bsdf_mod.bsdf_f(mp, si, si.wo, ls.l)
+        f = bsdf_mod.bsdf_f(mp, si, si.wo, ls.l, meta)
         worth = active & ~is_black(ls.li) & ~is_black(f)
         o_s, d_s = spawn_ray_to(si, ls.target)
         occluded = traverse.any_intersect(
@@ -103,7 +103,7 @@ def path_li(scene, meta, params: PathParams, sampler: Sampler,
         alive = alive & hit.hit
 
         si = make_surface(scene, hit, o, d)
-        mp = bsdf_mod.gather_materials(scene, si)
+        mp = bsdf_mod.gather_materials(scene, si, meta)
 
         bounce_radiance, dimn = _nee(
             scene, meta, sampler, ctx, si, mp, dim0, alive
@@ -128,7 +128,7 @@ def path_li(scene, meta, params: PathParams, sampler: Sampler,
 
         u = sampler.get_2d(ctx, dimn)
         dimn = dimn + 2
-        bs = bsdf_mod.bsdf_sample(mp, si, si.wo, u)
+        bs = bsdf_mod.bsdf_sample(mp, si, si.wo, u, meta)
         terminated = is_black(bs.f) | (bs.pdf == 0.0)
         alive = alive & ~terminated
         specular_bounce = bs.is_specular
@@ -252,7 +252,7 @@ def whitted_li(scene, meta, params: WhittedParams, sampler: Sampler,
         live = cur_active & hit.hit
 
         si = make_surface(scene, hit, cur_o, cur_d)
-        mp = bsdf_mod.gather_materials(scene, si)
+        mp = bsdf_mod.gather_materials(scene, si, meta)
 
         direct, _ = _nee(scene, meta, sampler, ctx, si, mp, dim0, live)
         emit_mask = cur_spec | (cur_depth == 0)

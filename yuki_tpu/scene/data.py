@@ -189,6 +189,11 @@ class SceneMeta:
     # Traversal strategy chosen at build: "dense" broadcast sweep for small
     # scenes (gather-free, VPU-bound), "bvh" threaded traversal otherwise.
     traversal: str = "dense"
+    # Static material facts for trace-time specialization: integrators and
+    # bsdf eval skip whole lobe families the scene never uses.
+    material_types: tuple = (0,)
+    has_sigma: bool = False
+    has_textures: bool = False
 
 
 @dataclass
@@ -574,6 +579,10 @@ class SceneBuilder:
             n_lights=len(lrows) if self._lights else 0,
             n_materials=len(mats),
             light_types=tuple(int(l["ltype"]) for l in lrows) if self._lights else (),
+            material_types=tuple(sorted({int(m["mtype"]) for m in mats})),
+            has_sigma=any(float(m["s0"]) != 0.0 and m["mtype"] == MAT_MATTE
+                          for m in mats),
+            has_textures=any(int(m["tex0"]) >= 0 for m in mats),
             bvh_max_leaf=bvh_host.max_leaf,
             traversal="dense" if nt <= DENSE_TRI_THRESHOLD else "treelet",
         )
