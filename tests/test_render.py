@@ -189,3 +189,35 @@ class TestPointLightShadows:
         assert li[0].max() == 0.0, li
         # Lane 1: floor point outside the shadow -> lit.
         assert li[1].max() > 0.01, li
+
+
+class TestMaterialSpecialization:
+    """bsdf.py's meta-driven branch skipping must be bitwise-neutral: a
+    fully-general meta (all families present) and the scene's specialized
+    meta produce identical images."""
+
+    def test_specialized_matches_general(self, cornell_scene):
+        import dataclasses
+
+        scene, sampler, ctx, o, d, _ = trace_setup(cornell_scene)
+        general = dataclasses.replace(
+            scene.meta,
+            material_types=(0, 1, 2, 3),
+            has_sigma=True,
+            has_textures=True,
+        )
+        spec = intg.path_li(
+            scene.data, scene.meta, intg.PathParams(4), sampler, ctx, o, d
+        ).li
+        gen = intg.path_li(
+            scene.data, general, intg.PathParams(4), sampler, ctx, o, d
+        ).li
+        assert np.array_equal(np.asarray(spec), np.asarray(gen))
+
+    def test_scene_meta_records_families(self, cornell_scene):
+        scene, _, _ = cornell_scene
+        from yuki_tpu.scene.data import MAT_GLASS, MAT_MATTE, MAT_METAL
+
+        # Cornell: matte walls + glass block + metal (copper) sphere.
+        assert set(scene.meta.material_types) == {MAT_MATTE, MAT_GLASS, MAT_METAL}
+        assert not scene.meta.has_sigma
