@@ -70,9 +70,10 @@ _PAGE = """<!DOCTYPE html>
  <label>BVH vis level <input id="bvh_level" type="number" value="-1" min="-1" max="40"></label>
  <div style="font-size:11px">ctrl-click image: debug ray</div>
  <h4>Camera</h4>
- <label>Position <input id="cam_pos" value=""></label>
- <label>Target <input id="cam_target" value=""></label>
- <label>FoV <input id="cam_fov" type="number" value="40"></label>
+ <label>Position <input id="cam_pos" value="%CAM_POS%"></label>
+ <label>Target <input id="cam_target" value="%CAM_TARGET%"></label>
+ <label>FoV <input id="cam_fov" type="number" value="%CAM_FOV%"></label>
+ <div style="font-size:11px;margin-top:6px">drag: orbit &middot; shift/middle-drag: pan &middot; wheel: dolly</div>
 </div>
 <div style="position:relative">
  <img id="img" src="/image.png">
@@ -127,6 +128,80 @@ setInterval(async () => {
   document.getElementById('status').textContent = s.text;
   if (s.dirty) document.getElementById('img').src = '/image.png?' + Date.now();
 }, 500);
+
+// Camera mouse gestures (reference window.rs drag handling): left drag =
+// trackball orbit around the target, middle or shift+left drag = pan in
+// the view plane, wheel = dolly along the view direction.  Each gesture
+// edits the cam_pos/cam_target fields and debounce-retriggers the render
+// (the reference's 32 ms settings debounce; we use 300 ms since every
+// render is a full device dispatch).
+const camEls = {
+  pos: document.getElementById('cam_pos'),
+  tgt: document.getElementById('cam_target'),
+};
+function getVec(el) { return el.value.split(',').map(Number); }
+function setVec(el, v) { el.value = v.map(x => x.toFixed(3)).join(','); }
+const sub = (a,b) => a.map((x,i) => x - b[i]);
+const add = (a,b) => a.map((x,i) => x + b[i]);
+const scale = (a,s) => a.map(x => x * s);
+const lenv = a => Math.hypot(...a);
+const norm = a => scale(a, 1 / (lenv(a) || 1));
+const cross = (a,b) => [a[1]*b[2]-a[2]*b[1], a[2]*b[0]-a[0]*b[2], a[0]*b[1]-a[1]*b[0]];
+let renderTimer = null;
+function queueRender() {
+  clearTimeout(renderTimer);
+  renderTimer = setTimeout(render, 300);
+}
+function orbit(dx, dy) {
+  const pos = getVec(camEls.pos), tgt = getVec(camEls.tgt);
+  const v = sub(pos, tgt), r = lenv(v);
+  let theta = Math.atan2(v[0], v[2]);
+  let phi = Math.acos(Math.max(-1, Math.min(1, v[1] / (r || 1))));
+  theta -= dx * 0.01;
+  phi = Math.max(0.05, Math.min(Math.PI - 0.05, phi - dy * 0.01));
+  setVec(camEls.pos, add(tgt, [r*Math.sin(phi)*Math.sin(theta),
+                               r*Math.cos(phi),
+                               r*Math.sin(phi)*Math.cos(theta)]));
+  queueRender();
+}
+function pan(dx, dy) {
+  const pos = getVec(camEls.pos), tgt = getVec(camEls.tgt);
+  const fwd = norm(sub(tgt, pos)), dist = lenv(sub(tgt, pos));
+  const right = norm(cross(fwd, [0,1,0]));
+  const up = cross(right, fwd);
+  const delta = add(scale(right, -dx * dist * 0.002),
+                    scale(up, dy * dist * 0.002));
+  setVec(camEls.pos, add(pos, delta));
+  setVec(camEls.tgt, add(tgt, delta));
+  queueRender();
+}
+function dolly(steps) {
+  const pos = getVec(camEls.pos), tgt = getVec(camEls.tgt);
+  const v = sub(pos, tgt);
+  const r = Math.max(1e-3, lenv(v) * Math.pow(1.1, steps));
+  setVec(camEls.pos, add(tgt, scale(norm(v), r)));
+  queueRender();
+}
+let drag = null;
+const imgEl = document.getElementById('img');
+imgEl.addEventListener('mousedown', e => {
+  if (e.ctrlKey) return;  // ctrl+click = debug ray
+  drag = {x: e.clientX, y: e.clientY,
+          pan: e.button === 1 || e.shiftKey};
+  e.preventDefault();
+});
+window.addEventListener('mousemove', e => {
+  if (!drag) return;
+  const dx = e.clientX - drag.x, dy = e.clientY - drag.y;
+  drag.x = e.clientX; drag.y = e.clientY;
+  if (drag.pan) pan(dx, dy); else orbit(dx, dy);
+});
+window.addEventListener('mouseup', () => { drag = null; });
+imgEl.addEventListener('wheel', e => {
+  e.preventDefault();
+  dolly(Math.sign(e.deltaY));
+});
+imgEl.addEventListener('dragstart', e => e.preventDefault());
 </script>
 </body></html>
 """
@@ -342,7 +417,16 @@ def serve(settings: InitialSettings, port: int = 8000):
                     json.dumps(state.bvh_level(level)).encode(),
                 )
             else:
-                self._send(200, "text/html", _PAGE.encode())
+                cam = state.cam_params
+                page = (
+                    _PAGE
+                    .replace("%CAM_POS%", ",".join(
+                        f"{v:.3f}" for v in cam.position))
+                    .replace("%CAM_TARGET%", ",".join(
+                        f"{v:.3f}" for v in cam.target))
+                    .replace("%CAM_FOV%", f"{cam.fov.degrees:g}")
+                )
+                self._send(200, "text/html", page.encode())
 
         def do_POST(self):
             n = int(self.headers.get("Content-Length", 0))
