@@ -72,6 +72,28 @@ def bench_scene(scene, cam_params, res, spp, max_depth, wave_tiles=256):
     }
 
 
+def load_atrium():
+    """The Sponza-class ASSET scene: generated once to disk, then loaded
+    through the pbrt+PLY path like a real asset (loader + treelet build at
+    scale — VERDICT r1 item 5)."""
+    import os
+
+    from yuki_tpu.app.settings import SceneLoadSettings
+    from yuki_tpu.scene.pbrt import load_pbrt
+
+    root = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "scenes", "atrium")
+    scene_file = os.path.join(root, "atrium.pbrt")
+    if not os.path.exists(scene_file):
+        import sys
+
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tools"))
+        from make_atrium_assets import write_scene
+
+        write_scene(root)
+    return load_pbrt(SceneLoadSettings(path=scene_file))
+
+
 def main():
     from yuki_tpu.scene.cornell import cornell
     from yuki_tpu.scene.testscenes import colonnade
@@ -84,17 +106,32 @@ def main():
         scene_l, cam_l, (1920, 1080), spp=1, max_depth=5
     )
 
-    value = round(cornell_stats["mrays_s"], 3)
+    scene_a, cam_a, _ = load_atrium()
+    atrium_stats = bench_scene(
+        scene_a, cam_a, (1920, 1080), spp=1, max_depth=5
+    )
+
+    # vs_baseline is keyed to the LARGE scene: the driver target is
+    # "≥200 Mrays/s/chip on Sponza-class scenes" (BASELINE.md:20-24), and
+    # the 124k-triangle colonnade is our Sponza-class workload. Cornell is
+    # reported alongside with its own explicit vs_baseline field.
+    value = round(colonnade_stats["mrays_s"], 3)
+    cornell_v = round(cornell_stats["mrays_s"], 3)
     print(
         json.dumps(
             {
-                "metric": "path_d5_1080p_closest_hit_rays_cornell",
+                "metric": "path_d5_1080p_closest_hit_rays_sponza_class",
                 "value": value,
                 "unit": "Mrays/s",
                 "vs_baseline": round(value / 200.0, 4),
+                "vs_baseline_sponza_class": round(value / 200.0, 4),
+                "vs_baseline_cornell": round(cornell_v / 200.0, 4),
+                "cornell_mrays_s": cornell_v,
                 "cornell_spp_per_s": round(cornell_stats["spp_s"], 3),
-                "colonnade_124k_mrays_s": round(colonnade_stats["mrays_s"], 3),
+                "colonnade_124k_mrays_s": value,
                 "colonnade_spp_per_s": round(colonnade_stats["spp_s"], 3),
+                "atrium_asset_mrays_s": round(atrium_stats["mrays_s"], 3),
+                "atrium_spp_per_s": round(atrium_stats["spp_s"], 3),
             }
         )
     )

@@ -191,10 +191,24 @@ def whitted_li(scene, meta, params: WhittedParams, sampler: Sampler,
     order is the same DFS, so dimension assignment matches lane-wise for
     pure-reflection chains and differs only in *index* for mixed trees —
     distribution-equivalent, see sampling.py).
+
+    The 2^depth-1 bound is reached only when every lane's every surface is
+    glass (the sole dual-lobe material, whitted.rs:38-70): the loop is a
+    ``while_loop`` that exits as soon as every lane's DFS stack drains, so
+    pure reflect/transmit chains cost depth-linear steps and glass-free
+    scenes (statically known from SceneMeta.material_types) cost exactly
+    one step — the worst case stays bounded but is no longer *paid* by
+    ordinary scenes at high max_depth.
     """
+    from ..scene.data import MAT_GLASS
+
     shape = o.shape[:-1]
     depth_cap = params.max_depth
-    n_steps = max(2 ** depth_cap - 1, 1)
+    if MAT_GLASS not in meta.material_types:
+        # No specular children can ever spawn: one trace/shade pass.
+        n_steps = 1
+    else:
+        n_steps = max(2 ** depth_cap - 1, 1)
     stack_size = max(depth_cap, 1)
     n_lights = len(meta.light_types)
     dims_per_step = 2 * n_lights
@@ -237,7 +251,8 @@ def whitted_li(scene, meta, params: WhittedParams, sampler: Sampler,
         "spec": jnp.zeros((stack_size,) + shape, dtype=bool),
     }
 
-    def body(carry, step):
+    def body(loop_carry):
+        step, carry = loop_carry
         (radiance, ray_count, stack, sp,
          cur_o, cur_d, cur_scale, cur_depth, cur_spec, cur_active) = carry
         dim0 = dim + step * dims_per_step
@@ -298,8 +313,9 @@ def whitted_li(scene, meta, params: WhittedParams, sampler: Sampler,
         cur_spec = jnp.where(r_valid, refl["spec"], item["spec"])
         cur_active = nxt_active
 
-        return (radiance, ray_count, stack, sp,
-                cur_o, cur_d, cur_scale, cur_depth, cur_spec, cur_active), None
+        return (step + 1,
+                (radiance, ray_count, stack, sp,
+                 cur_o, cur_d, cur_scale, cur_depth, cur_spec, cur_active))
 
     init = (
         jnp.zeros(o.shape),
@@ -313,8 +329,18 @@ def whitted_li(scene, meta, params: WhittedParams, sampler: Sampler,
         jnp.zeros(shape, dtype=bool),
         jnp.ones(shape, dtype=bool),
     )
-    carry, _ = jax.lax.scan(
-        body, init, jnp.arange(n_steps, dtype=jnp.int32)
+
+    def cond(loop_carry):
+        step, carry = loop_carry
+        sp, cur_active = carry[3], carry[9]
+        # Live work remains while any lane is tracing or has pushed
+        # transmission branches; step bound = worst-case full glass tree.
+        return (step < n_steps) & (
+            jnp.any(cur_active) | jnp.any(sp > 0)
+        )
+
+    _, carry = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), init)
     )
     return LiResult(li=carry[0], ray_count=carry[1])
 

@@ -274,11 +274,37 @@ def _render_job_inner(
 
     start = time.monotonic()
     total_rays = 0
+    # Work unit = tile-sample, both modes (the reference replicates tiles
+    # per sample generation, render_manager.rs:130-143, so its tile counts
+    # weigh every sample; our non-accumulate waves loop spp dispatches
+    # internally and must count each, or ETA treats an spp=256 wave like
+    # an spp=1 wave).
     tiles_total = sum(len(t) for _, t in passes) * (
-        1 if film_settings.accumulate else 1
+        1 if film_settings.accumulate else spp
     )
     tiles_done = 0
     window = deque(maxlen=16)  # sliding throughput window
+
+    def report(wave_rays, elapsed, units):
+        nonlocal tiles_done
+        tiles_done += units
+        window.append((wave_rays, elapsed, units))
+        win_rays = sum(r for r, _, _ in window)
+        win_time = max(sum(e for _, e, _ in window), 1e-9)
+        rps = win_rays / win_time
+        tiles_left = tiles_total - tiles_done
+        win_units = max(sum(n for _, _, n in window), 1)
+        eta = tiles_left * (win_time / win_units)
+        msgs.put(
+            RenderProgress(
+                render_id=rid,
+                tiles_done=tiles_done,
+                tiles_total=tiles_total,
+                current_rays=total_rays,
+                rays_per_sec=rps,
+                approx_remaining_s=eta,
+            )
+        )
 
     for sample_gen, pass_tiles in passes:
         for w0 in range(0, len(pass_tiles), wave_tiles):
@@ -299,50 +325,35 @@ def _render_job_inner(
                 )
             if render_settings.mark_tiles:
                 film.mark_tiles(jnp.asarray(ids))
-            t0 = time.monotonic()
-            wave_rays = 0.0
             if film_settings.accumulate:
+                t0 = time.monotonic()
                 px, rays = render_fn(
                     jnp.asarray(origins), jnp.int32(sample_gen), jnp.uint32(seed)
                 )
-                acc = px
-                wave_rays += float(rays)
+                wave_rays = float(rays)
                 if film.generation == film_generation:
-                    film.add_tiles(jnp.asarray(ids), acc)
+                    film.add_tiles(jnp.asarray(ids), px)
+                total_rays += int(wave_rays)
+                report(wave_rays, time.monotonic() - t0, len(wave))
             else:
                 acc = None
                 for s in range(spp):
                     if cancel.is_set():
                         return
+                    t0 = time.monotonic()
                     px, rays = render_fn(
                         jnp.asarray(origins), jnp.int32(s), jnp.uint32(seed)
                     )
                     acc = px if acc is None else acc + px
-                    wave_rays += float(rays)
+                    sample_rays = float(rays)
+                    total_rays += int(sample_rays)
+                    # Per-sample progress: parity with the reference's
+                    # per-sample tile generations (render_manager.rs:283-317).
+                    report(sample_rays, time.monotonic() - t0, len(wave))
                 # One generation holding the spp-sample *average* so the
                 # film's count-normalize yields the reference's mean.
                 if film.generation == film_generation:
                     film.add_tiles(jnp.asarray(ids), acc / spp)
-            elapsed = time.monotonic() - t0
-            total_rays += int(wave_rays)
-            tiles_done += len(wave)
-            window.append((wave_rays, elapsed, len(wave)))
-            win_rays = sum(r for r, _, _ in window)
-            win_time = max(sum(e for _, e, _ in window), 1e-9)
-            rps = win_rays / win_time
-            tiles_left = tiles_total - tiles_done
-            win_tiles = max(sum(n for _, _, n in window), 1)
-            eta = tiles_left * (win_time / win_tiles)
-            msgs.put(
-                RenderProgress(
-                    render_id=rid,
-                    tiles_done=tiles_done,
-                    tiles_total=tiles_total,
-                    current_rays=total_rays,
-                    rays_per_sec=rps,
-                    approx_remaining_s=eta,
-                )
-            )
 
     msgs.put(
         RenderFinished(

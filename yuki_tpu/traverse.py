@@ -176,17 +176,42 @@ def intersect_bvh(scene, o, d, t_max, max_leaf: int, with_stats: bool = False):
     return t, prim, b0, b1
 
 
+def _morton_part(x: jnp.ndarray) -> jnp.ndarray:
+    """Spread the low 10 bits of x so they occupy every 3rd bit (the
+    classic Morton bit-interleave expansion)."""
+    x = (x | (x << 16)) & jnp.uint32(0x030000FF)
+    x = (x | (x << 8)) & jnp.uint32(0x0300F00F)
+    x = (x | (x << 4)) & jnp.uint32(0x030C30C3)
+    x = (x | (x << 2)) & jnp.uint32(0x09249249)
+    return x
+
+
 def ray_sort_key(scene, o, d):
-    """Coherence key for wavefront ray sorting: origin cell in a 32^3 grid
-    over the scene bounds + direction octant.  Sorting bounce/shadow rays
-    by this key makes the pair-list cull's ray-block bundles tight again —
-    the standard wavefront-path-tracer reordering, done with one argsort.
+    """Coherence key for wavefront ray sorting: Morton-interleaved origin
+    cell in a 32^3 grid over the scene bounds + direction octant.  Sorting
+    bounce/shadow rays by this key makes the pair-list cull's ray-block
+    bundles tight again — the standard wavefront-path-tracer reordering,
+    done with one argsort.
+
+    Key structure (most-significant first): direction octant, then the
+    Morton cell.  Octant-MAJOR is load-bearing: the interval cull derives
+    its t-bounds from per-axis direction SIGNS, so a block that mixes
+    octants constrains nothing (t in [0, inf) on every axis -> the block
+    matches every treelet; measured exactly that — 2940/2940 treelets per
+    block — on 65k-ray bounce waves with a cell-major key).  Morton
+    (interleaved) cell bits beat raster order for the same reason blocks
+    beat scanlines: consecutive keys stay inside compact cubes, so the
+    block origin box stays small.
     """
     lo = scene.world_lo
     inv_ext = 31.0 / jnp.maximum(scene.world_hi - lo, 1e-6)
     cell = jnp.clip(((o - lo) * inv_ext), 0, 31).astype(jnp.uint32)
-    key = (cell[..., 0] << 13) | (cell[..., 1] << 8) | (cell[..., 2] << 3)
-    return key | _octant(d).astype(jnp.uint32)
+    morton = (
+        (_morton_part(cell[..., 0]) << 2)
+        | (_morton_part(cell[..., 1]) << 1)
+        | _morton_part(cell[..., 2])
+    )
+    return (_octant(d).astype(jnp.uint32) << 15) | morton
 
 
 def _sorted_call(scene, o, d, t_max, extra, fn):
