@@ -281,3 +281,25 @@ class TestAtriumAssets:
             (tmp_path / "plys" / "stone.ply").read_bytes()
         ).hexdigest()
         assert h1 == h2
+
+
+class TestPbrtSigmaTexture:
+    def test_texture_sigma_binds(self, tmp_path):
+        import numpy as np
+        from PIL import Image
+
+        img = (np.ones((2, 2, 3)) * 127).astype("uint8")
+        Image.fromarray(img).save(tmp_path / "sig.png")
+        (tmp_path / "s.pbrt").write_text(
+            'Texture "sig" "spectrum" "imagemap" "string filename" "sig.png"\n'
+            'WorldBegin\n'
+            'Material "matte" "rgb Kd" [0.5 0.5 0.5] "texture sigma" "sig"\n'
+            'Shape "trianglemesh" "integer indices" [0 1 2]\n'
+            '  "point P" [0 0 0  1 0 0  0 1 0]\n'
+            'WorldEnd\n'
+        )
+        scene, _, _ = load_pbrt(SceneLoadSettings(path=str(tmp_path / "s.pbrt")))
+        assert scene.meta.has_sigma_tex
+        assert scene.meta.has_sigma
+        # The matte row (after the default material at index 0) binds tex1.
+        assert int(np.asarray(scene.data.materials.tex1)[1]) >= 0

@@ -221,3 +221,38 @@ class TestMaterialSpecialization:
         # Cornell: matte walls + glass block + metal (copper) sphere.
         assert set(scene.meta.material_types) == {MAT_MATTE, MAT_GLASS, MAT_METAL}
         assert not scene.meta.has_sigma
+
+
+class TestWhittedDebugRays:
+    def test_glass_branches_both_children(self, cornell_scene):
+        """The Whitted li_debug walk must collect BOTH specular children
+        at a glass hit (whitted.rs:73-181) — the path walk follows only
+        one sampled branch."""
+        import jax.numpy as jnp
+
+        from yuki_tpu.integrators.debug_rays import collect_debug_rays_whitted
+
+        scene, cam_params, _ = cornell_scene
+        cam = Camera.create(cam_params, 64, 48)
+        # Aim at the glass tall box (center-left of the Cornell box).
+        p_film = jnp.asarray([[27.0, 22.0]], jnp.float32)
+        o, d = cam.ray(p_film)
+        ctx = SampleCtx(
+            px=jnp.asarray([27], jnp.uint32), py=jnp.asarray([22], jnp.uint32),
+            sample_index=jnp.uint32(0), seed=jnp.uint32(0),
+        )
+        rays = collect_debug_rays_whitted(
+            scene.data, scene.meta, intg.WhittedParams(max_depth=3),
+            UniformSampler(1), ctx, o, d,
+        )[0]
+        types = {r.ray_type for r in rays}
+        assert "direct" in types and "normal" in types
+        # If the first hit is glass, both branches must appear.
+        if "reflection" in types or "refraction" in types:
+            assert "reflection" in types and "refraction" in types
+        # Depth-3 whitted with glass: strictly more segments than depth 1.
+        rays1 = collect_debug_rays_whitted(
+            scene.data, scene.meta, intg.WhittedParams(max_depth=1),
+            UniformSampler(1), ctx, o, d,
+        )[0]
+        assert len(rays) >= len(rays1)

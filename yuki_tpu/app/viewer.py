@@ -221,6 +221,7 @@ class ViewerState:
         self.lock = threading.Lock()
         self.last_res = (640, 480)
         self.last_depth = 3
+        self.last_integrator = "Path"
         self.last_camera = None
 
     def start_render(self, cfg: dict):
@@ -269,6 +270,7 @@ class ViewerState:
             rx_eff, ry_eff = fs.effective_res()
             self.last_res = (rx_eff, ry_eff)
             self.last_depth = depth
+            self.last_integrator = kind
             self.last_camera = Camera.create(cam, rx_eff, ry_eff)
             self.film = film_or_new(self.film, fs)
             self.renderer.launch(
@@ -315,10 +317,20 @@ class ViewerState:
         sampler = UniformSampler(1)
         p_film = jnp.asarray([[px + 0.5, py + 0.5]], dtype=jnp.float32)
         o, d = self.last_camera.ray(p_film)
-        rays = collect_debug_rays(
-            self.scene.data, self.scene.meta, PathParams(self.last_depth),
-            sampler, ctx, o, d,
-        )[0]
+        # Whitted renders get the Whitted li_debug walk (both specular
+        # branches, whitted.rs:73-181); everything else uses the path walk.
+        if self.last_integrator == "Whitted":
+            from ..integrators.debug_rays import collect_debug_rays_whitted
+
+            rays = collect_debug_rays_whitted(
+                self.scene.data, self.scene.meta,
+                PathParams(self.last_depth), sampler, ctx, o, d,
+            )[0]
+        else:
+            rays = collect_debug_rays(
+                self.scene.data, self.scene.meta, PathParams(self.last_depth),
+                sampler, ctx, o, d,
+            )[0]
         segs = project_segments(self.last_camera, rx, ry, rays)
         return {"segments": segs, "res": [rx, ry]}
 

@@ -73,6 +73,15 @@ def gather_materials(scene, si: Surface, meta=None) -> MatParams:
     # Texture-resolve c0 (kd) where a texture is bound.
     tex_val = eval_texture(scene.textures, jnp.maximum(tex0, 0), si.uv)
     c0 = jnp.where((tex0 >= 0)[..., None], tex_val, c0)
+    # Texture-resolve s0 (Texture<f32> sigma, matte.rs:22-41): float
+    # textures store their value replicated across the atlas RGB row;
+    # skipped at trace time unless the scene binds one.
+    if meta is None or meta.has_sigma_tex:
+        tex1 = row[..., 10].astype(jnp.int32)
+        s0_tex = eval_texture(
+            scene.textures, jnp.maximum(tex1, 0), si.uv
+        )[..., 0]
+        s0 = jnp.where(tex1 >= 0, s0_tex, s0)
     rough = jnp.where(remap, roughness_to_alpha(s0), s0)
     # Glossy squares its (possibly remapped) roughness (glossy.rs:49-52).
     rough = jnp.where(mtype == MAT_GLOSSY, rough * rough, rough)

@@ -118,6 +118,92 @@ def collect_debug_rays(
     return out
 
 
+def collect_debug_rays_whitted(
+    scene, meta, params, sampler: Sampler, ctx: SampleCtx, o, d,
+) -> List[List[DebugRay]]:
+    """Whitted li_debug walk (whitted.rs:73-181): unlike the path walk,
+    the Whitted tree is DETERMINISTIC and BRANCHING — every glass hit
+    spawns BOTH a reflection (red) and a refraction (green) child, and
+    both subtrees are collected.  Level-by-level batched host loop: all
+    nodes of one tree depth trace in a single intersect call."""
+    from ..scene.data import MAT_GLASS
+
+    n = o.shape[0]
+    out: List[List[DebugRay]] = [[] for _ in range(n)]
+    world_lo = np.asarray(scene.world_lo)
+    world_hi = np.asarray(scene.world_hi)
+    min_len = float((world_hi - world_lo).max()) / 10.0
+
+    # Work items at the current tree depth: (lane, o[3], d[3], type).
+    level = [
+        (i, np.asarray(o)[i], np.asarray(d)[i], "direct") for i in range(n)
+    ]
+    dim = 2
+    for depth in range(params.max_depth):
+        if not level:
+            break
+        o_b = jnp.asarray(np.stack([w[1] for w in level]))
+        d_b = jnp.asarray(np.stack([w[2] for w in level]))
+        m = len(level)
+        hit = traverse.intersect(
+            scene, meta, o_b, d_b, jnp.full(m, traverse.F32_MAX)
+        )
+        si = make_surface(scene, hit, o_b, d_b)
+        mp = bsdf_mod.gather_materials(scene, si, meta)
+
+        t_np = np.asarray(hit.t)
+        hit_np = np.asarray(hit.hit)
+        p_np = np.asarray(si.p)
+        n_np = np.asarray(si.n)
+        for k, (lane, wo, wd, rtype) in enumerate(level):
+            seg = t_np[k] if hit_np[k] else min_len
+            out[lane].append(DebugRay(wo, wo + wd * seg, rtype))
+            if hit_np[k]:
+                out[lane].append(
+                    DebugRay(p_np[k], p_np[k] + n_np[k] * min_len, "normal")
+                )
+
+        # NEE shadow rays per light (whitted.rs:119-141); the sample ctx is
+        # re-indexed by originating lane so deeper tree levels keep the
+        # per-pixel stateless streams.
+        lanes = jnp.asarray([w[0] for w in level], dtype=jnp.int32)
+        ctx_l = SampleCtx(
+            px=ctx.px[lanes], py=ctx.py[lanes],
+            sample_index=ctx.sample_index, seed=ctx.seed,
+        )
+        for li_idx, ltype in enumerate(meta.light_types):
+            u = sampler.get_2d(ctx_l, dim)
+            dim += 2
+            ls = lights_mod.sample_li(scene, li_idx, ltype, si, u)
+            worth = np.asarray(~is_black(ls.li))
+            o_s, d_s = spawn_ray_to(si, ls.target)
+            o_s_np, d_s_np = np.asarray(o_s), np.asarray(d_s)
+            for k, (lane, *_rest) in enumerate(level):
+                if hit_np[k] and worth[k]:
+                    out[lane].append(
+                        DebugRay(
+                            o_s_np[k], o_s_np[k] + d_s_np[k] * 0.9999,
+                            "shadow",
+                        )
+                    )
+
+        if depth + 1 >= params.max_depth:
+            break
+        # Both specular children (glass only), no sampling involved.
+        nxt = []
+        bs_r = bsdf_mod.bsdf_sample_specular(mp, si, si.wo, transmission=False)
+        bs_t = bsdf_mod.bsdf_sample_specular(mp, si, si.wo, transmission=True)
+        for bs, rtype in ((bs_r, "reflection"), (bs_t, "refraction")):
+            valid = np.asarray(bs.valid)
+            o_c = np.asarray(spawn_ray(si, bs.wi))
+            d_c = np.asarray(bs.wi)
+            for k, (lane, *_rest) in enumerate(level):
+                if hit_np[k] and valid[k]:
+                    nxt.append((lane, o_c[k], d_c[k], rtype))
+        level = nxt
+    return out
+
+
 def project_segments(camera, res_x: int, res_y: int, rays: List[DebugRay]):
     """Project world-space segments into raster space for 2D overlays
     (replaces the GL line pass, renderpasses/ray_visualization.rs).

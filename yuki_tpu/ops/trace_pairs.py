@@ -305,7 +305,10 @@ def pairs_closest(tl, o, d, t_max, max_pairs: int = CHUNK * MAX_CHUNKS,
     k = tl.leaf_size
     out_rows = (n_blocks + 1) * BLOCK_ROWS
     ray_spec, tri_spec, tb_spec = _specs(tl, out_rows, k, 7)
-    chunk = min(CHUNK, max_pairs)
+    # Big waves need big pair capacity; grow the per-launch chunk (not the
+    # chunk count) so the compiled graph stays at <= MAX_CHUNKS pallas
+    # calls regardless of capacity.
+    chunk = min(max(CHUNK, -(-max_pairs // MAX_CHUNKS)), max_pairs)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(chunk,),
@@ -375,7 +378,7 @@ def pairs_any(tl, o, d, t_max, skip_light, max_pairs: int = CHUNK * MAX_CHUNKS,
     k = tl.leaf_size
     out_rows = (n_blocks + 1) * BLOCK_ROWS
     ray_spec, tri_spec, tb_spec = _specs(tl, out_rows, k, 8)
-    chunk = min(CHUNK, max_pairs)
+    chunk = min(max(CHUNK, -(-max_pairs // MAX_CHUNKS)), max_pairs)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(chunk,),

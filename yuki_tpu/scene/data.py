@@ -105,7 +105,7 @@ class MaterialArrays:
     """Material parameter table, [M, ...].
 
     Per type the slots mean:
-      MATTE : c0=kd          s0=sigma(radians)  tex0=kd texture
+      MATTE : c0=kd          s0=sigma(radians)  tex0=kd tex  tex1=sigma tex
       GLASS : c0=R  c1=T     s0=eta
       METAL : c0=eta c1=k    s0=roughness  remap
       GLOSSY: c0=Rs          s0=roughness  remap
@@ -117,7 +117,10 @@ class MaterialArrays:
     s0: Any  # [M]
     remap: Any  # [M] bool
     tex0: Any  # [M] i32 texture id for c0, -1 = constant
-    # One-gather row: [M,16] f32 — mtype, c0(3), c1(3), s0, remap, tex0.
+    tex1: Any  # [M] i32 texture id for s0 (Texture<f32> sigma,
+    # textures/mod.rs:12-16 / matte.rs:22-41), -1 = constant
+    # One-gather row: [M,16] f32 — mtype, c0(3), c1(3), s0, remap, tex0,
+    # tex1.
     packed: Any
 
 
@@ -194,6 +197,9 @@ class SceneMeta:
     material_types: tuple = (0,)
     has_sigma: bool = False
     has_textures: bool = False
+    # Any matte binds a Texture<f32> sigma (textures/mod.rs:12-16); the
+    # extra per-lane sigma gather is dropped at trace time otherwise.
+    has_sigma_tex: bool = False
 
 
 @dataclass
@@ -236,24 +242,26 @@ class SceneBuilder:
         self._materials.append(row)
         return len(self._materials) - 1
 
-    def add_matte(self, kd=(1.0, 1.0, 1.0), sigma: float = 0.0, kd_tex: int = -1) -> int:
+    def add_matte(self, kd=(1.0, 1.0, 1.0), sigma: float = 0.0, kd_tex: int = -1,
+                  sigma_tex: int = -1) -> int:
         return self._add_material(
-            dict(mtype=MAT_MATTE, c0=kd, c1=(0, 0, 0), s0=sigma, remap=False, tex0=kd_tex)
+            dict(mtype=MAT_MATTE, c0=kd, c1=(0, 0, 0), s0=sigma, remap=False,
+                 tex0=kd_tex, tex1=sigma_tex)
         )
 
     def add_glass(self, r=(1.0, 1.0, 1.0), t=(1.0, 1.0, 1.0), eta: float = 1.5) -> int:
         return self._add_material(
-            dict(mtype=MAT_GLASS, c0=r, c1=t, s0=eta, remap=False, tex0=-1)
+            dict(mtype=MAT_GLASS, c0=r, c1=t, s0=eta, remap=False, tex0=-1, tex1=-1)
         )
 
     def add_metal(self, eta, k, roughness: float, remap_roughness: bool = True) -> int:
         return self._add_material(
-            dict(mtype=MAT_METAL, c0=eta, c1=k, s0=roughness, remap=remap_roughness, tex0=-1)
+            dict(mtype=MAT_METAL, c0=eta, c1=k, s0=roughness, remap=remap_roughness, tex0=-1, tex1=-1)
         )
 
     def add_glossy(self, rs, roughness: float, remap_roughness: bool = True) -> int:
         return self._add_material(
-            dict(mtype=MAT_GLOSSY, c0=rs, c1=(0, 0, 0), s0=roughness, remap=remap_roughness, tex0=-1)
+            dict(mtype=MAT_GLOSSY, c0=rs, c1=(0, 0, 0), s0=roughness, remap=remap_roughness, tex0=-1, tex1=-1)
         )
 
     # --- textures ------------------------------------------------------
@@ -469,7 +477,7 @@ class SceneBuilder:
         )
 
         mats = self._materials or [
-            dict(mtype=MAT_MATTE, c0=(1, 1, 1), c1=(0, 0, 0), s0=0.0, remap=False, tex0=-1)
+            dict(mtype=MAT_MATTE, c0=(1, 1, 1), c1=(0, 0, 0), s0=0.0, remap=False, tex0=-1, tex1=-1)
         ]
         mat_packed = np.zeros((len(mats), 16), dtype=np.float32)
         mat_packed[:, 0] = [m["mtype"] for m in mats]
@@ -478,6 +486,7 @@ class SceneBuilder:
         mat_packed[:, 7] = [m["s0"] for m in mats]
         mat_packed[:, 8] = [float(m["remap"]) for m in mats]
         mat_packed[:, 9] = [m["tex0"] for m in mats]
+        mat_packed[:, 10] = [m.get("tex1", -1) for m in mats]
         materials = MaterialArrays(
             mtype=jnp.asarray([m["mtype"] for m in mats], dtype=jnp.int32),
             c0=jnp.asarray(np.asarray([m["c0"] for m in mats], dtype=np.float32)),
@@ -485,6 +494,7 @@ class SceneBuilder:
             s0=jnp.asarray([m["s0"] for m in mats], dtype=jnp.float32),
             remap=jnp.asarray([m["remap"] for m in mats], dtype=bool),
             tex0=jnp.asarray([m["tex0"] for m in mats], dtype=jnp.int32),
+            tex1=jnp.asarray([m.get("tex1", -1) for m in mats], dtype=jnp.int32),
             packed=jnp.asarray(mat_packed),
         )
 
@@ -580,9 +590,13 @@ class SceneBuilder:
             n_materials=len(mats),
             light_types=tuple(int(l["ltype"]) for l in lrows) if self._lights else (),
             material_types=tuple(sorted({int(m["mtype"]) for m in mats})),
-            has_sigma=any(float(m["s0"]) != 0.0 and m["mtype"] == MAT_MATTE
-                          for m in mats),
+            has_sigma=any(
+                (float(m["s0"]) != 0.0 or int(m.get("tex1", -1)) >= 0)
+                and m["mtype"] == MAT_MATTE
+                for m in mats
+            ),
             has_textures=any(int(m["tex0"]) >= 0 for m in mats),
+            has_sigma_tex=any(int(m.get("tex1", -1)) >= 0 for m in mats),
             bvh_max_leaf=bvh_host.max_leaf,
             traversal="dense" if nt <= DENSE_TRI_THRESHOLD else "treelet",
         )

@@ -305,8 +305,23 @@ class _MaterialTable:
                 kd = (1.0, 1.0, 1.0)
             else:
                 kd = tuple(_find_spectrum(params, "Kd", (0.5, 0.5, 0.5)))
-            sigma = np.radians(float(_find_scalar(params, "sigma", "float", 0.0)))
-            return self.b.add_matte(kd=kd, sigma=float(sigma), kd_tex=tex_id)
+            # "texture sigma" binds a Texture<f32> (matte.rs:22-41); the
+            # float-texture value is used as-is (radians — the reference's
+            # double degrees->radians quirk applies only to constants).
+            sigma_name = _find_scalar(params, "sigma", "texture", "")
+            sigma_tex = -1
+            sigma = 0.0
+            if sigma_name:
+                if sigma_name not in self.textures:
+                    raise PbrtParseError(f"texture {sigma_name!r} not found")
+                sigma_tex = self.textures[sigma_name]
+            else:
+                sigma = float(np.radians(
+                    float(_find_scalar(params, "sigma", "float", 0.0))
+                ))
+            return self.b.add_matte(
+                kd=kd, sigma=sigma, kd_tex=tex_id, sigma_tex=sigma_tex
+            )
         if mtype == "metal":
             eta = _find_spectrum(
                 params, "eta", sampled_spectrum_to_rgb(COPPER_WAVELENGTHS, COPPER_N)
