@@ -41,6 +41,11 @@ class PathParams:
     indirect_clamp: Optional[float] = None
 
 
+# Benign unit direction for parked (dead/masked) lanes — avoids d=0
+# rays whose 1/d = inf turns the traversal slab tests into NaNs.
+_BENIGN_D = jnp.asarray([0.0, 0.0, 1.0])
+
+
 class LiResult(NamedTuple):
     li: jnp.ndarray  # [N,3]
     ray_count: jnp.ndarray  # [N] i32 — closest-hit traversals, matching the
@@ -59,13 +64,24 @@ def _nee(scene, meta, sampler: Sampler, ctx: SampleCtx, si: Surface,
         dim = dim + 2
         ls = lights_mod.sample_li(scene, li_idx, ltype, si, u)
         f = bsdf_mod.bsdf_f(mp, si, si.wo, ls.l, meta)
-        worth = active & ~is_black(ls.li) & ~is_black(f)
-        o_s, d_s = spawn_ray_to(si, ls.target)
-        occluded = traverse.any_intersect(
-            scene, meta, o_s, d_s, jnp.full(si.p.shape[:-1], 0.9999),
-            ls.skip_light,
-        )
         cos = jnp.clip(dot(si.ns, ls.l), 0.0, 1.0)
+        # Zero-contribution lanes (black f/li, light behind the shading
+        # normal) never affect the image — give them t_max=0 so the
+        # occlusion traversal's cull drops their corridors entirely
+        # instead of walking a full shadow segment for a masked result.
+        worth = active & ~is_black(ls.li) & ~is_black(f) & (cos > 0.0)
+        o_s, d_s = spawn_ray_to(si, ls.target)
+        # Park zero-contribution lanes on a benign in-scene ray: miss
+        # lanes carry |p| ~ 3e38 origins which would poison their whole
+        # sorted BLOCK's origin bounds in the traversal cull (one bad
+        # lane makes the block match every treelet).
+        center = 0.5 * (scene.world_lo + scene.world_hi)
+        o_s = jnp.where(worth[..., None], o_s, center)
+        d_s = jnp.where(worth[..., None], d_s, _BENIGN_D)
+        t_s = jnp.where(worth, 0.9999, 0.0)
+        occluded = traverse.any_intersect(
+            scene, meta, o_s, d_s, t_s, ls.skip_light,
+        )
         contrib = f * ls.li * (cos / jnp.maximum(ls.pdf, 1e-30))[..., None]
         total = total + jnp.where((worth & ~occluded)[..., None], contrib, 0.0)
     return total, dim
@@ -92,7 +108,11 @@ def path_li(scene, meta, params: PathParams, sampler: Sampler,
         dim0 = dim + bounce * dims_per_bounce
 
         ray_count = ray_count + alive.astype(jnp.int32)
-        t_max = jnp.full(shape, traverse.F32_MAX)
+        # Dead lanes trace a zero-length benign ray (see _nee: their
+        # garbage origins would otherwise poison block culls and overflow
+        # the pair budget into the slow fallback walk every bounce —
+        # measured 939 ms vs ~30 ms for the 262k-ray bounce wave).
+        t_max = jnp.where(alive, traverse.F32_MAX, 0.0)
         hit = traverse.intersect(scene, meta, o, d, t_max)
 
         # Miss: background, terminate (path.rs:155-160).
@@ -142,8 +162,12 @@ def path_li(scene, meta, params: PathParams, sampler: Sampler,
         finite = jnp.all(jnp.isfinite(beta), axis=-1)
         alive = alive & finite
         beta = jnp.where(finite[..., None], beta, 0.0)
-        o = spawn_ray(si, bs.wi)
-        d = bs.wi
+        # Park dead lanes at the scene center with a unit direction (and
+        # t_max=0 next bounce): see the traversal-cull poisoning note at
+        # the top of the loop body.
+        center = 0.5 * (scene.world_lo + scene.world_hi)
+        o = jnp.where(alive[..., None], spawn_ray(si, bs.wi), center)
+        d = jnp.where(alive[..., None], bs.wi, _BENIGN_D)
 
         # Russian roulette (path.rs:162-169), applied after bounce 3.
         q = jnp.maximum(0.05, 1.0 - beta[..., 1])
@@ -258,7 +282,7 @@ def whitted_li(scene, meta, params: WhittedParams, sampler: Sampler,
         dim0 = dim + step * dims_per_step
 
         ray_count = ray_count + cur_active.astype(jnp.int32)
-        t_max = jnp.full(shape, traverse.F32_MAX)
+        t_max = jnp.where(cur_active, traverse.F32_MAX, 0.0)
         hit = traverse.intersect(scene, meta, cur_o, cur_d, t_max)
         missed = cur_active & ~hit.hit
         radiance = radiance + jnp.where(
@@ -308,6 +332,11 @@ def whitted_li(scene, meta, params: WhittedParams, sampler: Sampler,
         sel = r_valid[..., None]
         cur_o = jnp.where(sel, refl["o"], item["o"])
         cur_d = jnp.where(sel, refl["d"], item["d"])
+        # Idle lanes pop stack zeros (d=0 -> inf inverse direction) and
+        # would poison the traversal cull; park them on a benign ray.
+        center = 0.5 * (scene.world_lo + scene.world_hi)
+        cur_o = jnp.where(nxt_active[..., None], cur_o, center)
+        cur_d = jnp.where(nxt_active[..., None], cur_d, _BENIGN_D)
         cur_scale = jnp.where(sel, refl["scale"], item["scale"])
         cur_depth = jnp.where(r_valid, refl["depth"], item["depth"])
         cur_spec = jnp.where(r_valid, refl["spec"], item["spec"])

@@ -95,7 +95,14 @@ def sample_li(scene, light_index: int, light_type: int, si: Surface, u) -> Light
     if light_type == LIGHT_DISTANT:
         w = L.p[light_index]
         li = jnp.broadcast_to(L.i[light_index], si.p.shape)
-        target = si.p + w * 10000.0
+        # Shadow segment bounded by the scene AABB diagonal: no occluder
+        # exists beyond the scene bounds, and a fixed huge length (the
+        # reference uses an unbounded ray, distant_light.rs) makes the
+        # wavefront occlusion cull's t-intervals cover the whole treelet
+        # table — measured minutes-per-wave on the colonnade at 10000x
+        # scene scale.  Image-identical.
+        diag = jnp.linalg.norm(scene.world_hi - scene.world_lo) + 1e-3
+        target = si.p + w * diag
         return LightSample(
             l=jnp.broadcast_to(w, si.p.shape), li=li,
             pdf=jnp.ones(shape), target=target, skip_light=neg1,

@@ -41,6 +41,27 @@ LIGHT_RIGHT = X_CENTER - LIGHT_HALF_WH
 HOLE_TOP = TOP + HEIGHT * 0.025
 
 
+def _load_tiling_asset() -> np.ndarray | None:
+    """The real back-wall texture, loaded from res/ like the reference's
+    include_bytes! (scene/mod.rs:193-201).  res/tiling_58-1K carries the
+    CC-attributed normal+roughness maps (see source.txt); the basecolor
+    PNG referenced by the Rust build is NOT present in the mounted
+    reference, so this loads it only when someone drops the original
+    `tiling_58_basecolor-1K.png` in — byte parity becomes possible the
+    moment the asset exists, with the procedural stand-in as fallback."""
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", "..",
+        "res", "tiling_58-1K", "tiling_58_basecolor-1K.png",
+    )
+    if not os.path.exists(path):
+        return None
+    from ..textures import decode_image_file
+
+    return decode_image_file(path)
+
+
 def _tiling_texture(size: int = 256) -> np.ndarray:
     """Deterministic stand-in for res/tiling_58-1K basecolor: grey tiles
     with darker grout lines and mild per-tile value variation."""
@@ -71,7 +92,8 @@ def cornell() -> tuple[Scene, CameraParameters, FilmSettings]:
     )
     xform = tf.scale(0.001, 0.001, 0.001) @ handedness_swap
 
-    tex = b.add_texture(_tiling_texture())
+    asset = _load_tiling_asset()
+    tex = b.add_texture(asset if asset is not None else _tiling_texture())
     white = b.add_matte(kd=(180 / 255.0,) * 3)
     image = b.add_matte(kd=(1.0, 1.0, 1.0), kd_tex=tex)
     red = b.add_matte(kd=(180 / 255.0, 0.0, 0.0))
