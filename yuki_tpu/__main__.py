@@ -42,6 +42,11 @@ def main(argv=None) -> int:
         help="yaml settings file (default: ./settings.yaml if present)",
     )
     parser.add_argument("--view", action="store_true", help="start web viewer")
+    parser.add_argument(
+        "--profile",
+        help="capture a jax.profiler device trace of the render into this "
+        "directory (view with tensorboard/xprof)",
+    )
     parser.add_argument("--port", type=int, default=8000, help="viewer port")
     args = parser.parse_args(argv)
 
@@ -62,8 +67,10 @@ def main(argv=None) -> int:
 
     if args.out:
         from .app import headless
+        from .profiling import device_trace
 
-        headless.render(settings, args.out)
+        with device_trace(getattr(args, "profile", None)):
+            headless.render(settings, args.out)
         return 0
 
     from .app import viewer

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 from .. import bsdf as bsdf_mod
 from .. import lights as lights_mod
 from .. import traverse
+from ..profiling import pass_scope
 from ..sampling import SampleCtx, Sampler
 from ..surface import Surface, make_surface, spawn_ray, spawn_ray_to
 from ..vecmath import dot, is_black
@@ -79,9 +80,10 @@ def _nee(scene, meta, sampler: Sampler, ctx: SampleCtx, si: Surface,
         o_s = jnp.where(worth[..., None], o_s, center)
         d_s = jnp.where(worth[..., None], d_s, _BENIGN_D)
         t_s = jnp.where(worth, 0.9999, 0.0)
-        occluded = traverse.any_intersect(
-            scene, meta, o_s, d_s, t_s, ls.skip_light,
-        )
+        with pass_scope("trace.occlusion"):
+            occluded = traverse.any_intersect(
+                scene, meta, o_s, d_s, t_s, ls.skip_light,
+            )
         contrib = f * ls.li * (cos / jnp.maximum(ls.pdf, 1e-30))[..., None]
         total = total + jnp.where((worth & ~occluded)[..., None], contrib, 0.0)
     return total, dim
@@ -113,7 +115,8 @@ def path_li(scene, meta, params: PathParams, sampler: Sampler,
         # the pair budget into the slow fallback walk every bounce —
         # measured 939 ms vs ~30 ms for the 262k-ray bounce wave).
         t_max = jnp.where(alive, traverse.F32_MAX, 0.0)
-        hit = traverse.intersect(scene, meta, o, d, t_max)
+        with pass_scope("trace.closest"):
+            hit = traverse.intersect(scene, meta, o, d, t_max)
 
         # Miss: background, terminate (path.rs:155-160).
         missed = alive & ~hit.hit
@@ -122,12 +125,14 @@ def path_li(scene, meta, params: PathParams, sampler: Sampler,
         )
         alive = alive & hit.hit
 
-        si = make_surface(scene, hit, o, d)
-        mp = bsdf_mod.gather_materials(scene, si, meta)
+        with pass_scope("shade.surface"):
+            si = make_surface(scene, hit, o, d)
+            mp = bsdf_mod.gather_materials(scene, si, meta)
 
-        bounce_radiance, dimn = _nee(
-            scene, meta, sampler, ctx, si, mp, dim0, alive
-        )
+        with pass_scope("shade.nee"):
+            bounce_radiance, dimn = _nee(
+                scene, meta, sampler, ctx, si, mp, dim0, alive
+            )
 
         # Emitted on first/specular hit.  NOTE: the reference multiplies the
         # emitted term by beta here AND the whole per-bounce radiance by beta
@@ -148,7 +153,8 @@ def path_li(scene, meta, params: PathParams, sampler: Sampler,
 
         u = sampler.get_2d(ctx, dimn)
         dimn = dimn + 2
-        bs = bsdf_mod.bsdf_sample(mp, si, si.wo, u, meta)
+        with pass_scope("shade.bsdf_sample"):
+            bs = bsdf_mod.bsdf_sample(mp, si, si.wo, u, meta)
         terminated = is_black(bs.f) | (bs.pdf == 0.0)
         alive = alive & ~terminated
         specular_bounce = bs.is_specular
@@ -283,7 +289,8 @@ def whitted_li(scene, meta, params: WhittedParams, sampler: Sampler,
 
         ray_count = ray_count + cur_active.astype(jnp.int32)
         t_max = jnp.where(cur_active, traverse.F32_MAX, 0.0)
-        hit = traverse.intersect(scene, meta, cur_o, cur_d, t_max)
+        with pass_scope("trace.closest"):
+            hit = traverse.intersect(scene, meta, cur_o, cur_d, t_max)
         missed = cur_active & ~hit.hit
         radiance = radiance + jnp.where(
             missed[..., None], cur_scale * scene.background, 0.0

@@ -219,22 +219,33 @@ def _pairs_any_kernel(
         occ_out[:] = jnp.zeros(occ_out.shape, jnp.int32)
 
     tt = pt_ref[p]
-    alive = _recheck(tb_ref, tt, ox, oy, oz, dx, dy, dz, t_max) & (
-        occ_out[:] == 0
-    )
+    crossing = _recheck(tb_ref, tt, ox, oy, oz, dx, dy, dz, t_max)
+    alive = crossing & (occ_out[:] == 0)
 
     @pl.when(jnp.any(alive))
     def _():
-        def tri_body(k, _):
+        # Early-exit triangle loop: an any-hit query is done the moment
+        # every corridor-crossing lane is occluded — unlike closest-hit
+        # there is no t to keep refining (bvh.rs:235-302's first-hit
+        # return, expressed at block granularity).
+        crossing_i = crossing.astype(jnp.int32)
+
+        def cond(s):
+            k, done = s
+            return (k < leaf_size) & (done == 0)
+
+        def body(s):
+            k, _ = s
             cols = [tri_ref[k, c] for c in range(9)]
             hit, _, _, _ = _watertight(ox, oy, oz, dx, dy, dz, t_max, cols)
             light = tri_ref[k, 9]
             pid = tri_ref[k, 10]
             blocked = hit & (light != skip) & (pid >= 0.0)
             occ_out[:] = occ_out[:] | blocked.astype(jnp.int32)
-            return 0
+            still = jnp.any(crossing_i > occ_out[:])
+            return k + 1, jnp.where(still, 0, 1)
 
-        jax.lax.fori_loop(0, leaf_size, tri_body, 0)
+        jax.lax.while_loop(cond, body, (0, 0))
 
 
 def _pack_rays(o, d, t_max, n_blocks, extra=None):
