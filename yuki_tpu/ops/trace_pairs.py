@@ -130,6 +130,21 @@ def block_candidate_pairs(tl, o, d, t_max, max_pairs: int):
     )
     pair_block = (idx // n_t).astype(jnp.int32)
     pair_treelet = (idx % n_t).astype(jnp.int32)
+    # Front-to-back pair order: sort each block's pairs by the conservative
+    # t_enter so the kernel's running-t recheck prunes far treelets as
+    # early as possible (closest) and occluded lanes retire sooner (any).
+    # Stable variadic sort keyed (block, t_enter); padded entries carry
+    # pair_block == n_blocks so they sort to the tail automatically.
+    t_en_flat = jnp.where(
+        jnp.isnan(t_enter), jnp.inf, jnp.maximum(t_enter, 0.0)
+    ).reshape(-1)
+    pad_row = jnp.full(1, jnp.inf, t_en_flat.dtype)
+    pair_ten = jnp.concatenate([t_en_flat, pad_row])[
+        jnp.minimum(idx, n_blocks * n_t)
+    ]
+    pair_block, _, pair_treelet = jax.lax.sort(
+        (pair_block, pair_ten, pair_treelet), num_keys=2, is_stable=False
+    )
     return pair_block, pair_treelet, n_pairs, n_blocks
 
 

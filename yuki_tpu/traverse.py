@@ -243,26 +243,21 @@ def intersect(scene, meta, o, d, t_max, with_stats: bool = False):
     if meta.traversal == "dense" and not with_stats:
         t, prim, b0, b1 = intersect_dense(scene, o, d, t_max)
     elif meta.traversal == "treelet" and not with_stats and _use_pallas():
-        from .ops.trace_pairs import pairs_closest
+        from .ops.trace_stream import stream_closest
         from .ops.trace_treelets import treelet_closest
 
-        # Sort rays for block coherence, pair-list walk when the
-        # conservative cull fits the pair budget, in-kernel treelet walk as
-        # the always-correct fallback for batches that still overflow.
-        cap = _pair_capacity(o.shape[0])
-
-        def run(o_s, d_s, t_s, _):
-            t_p, prim_p, b0_p, b1_p, n_pairs = pairs_closest(
-                scene.treelets, o_s, d_s, t_s, max_pairs=cap
-            )
-            return jax.lax.cond(
-                n_pairs > cap,
-                lambda _: treelet_closest(scene.treelets, o_s, d_s, t_s),
-                lambda _: (t_p, prim_p, b0_p, b1_p),
-                None,
-            )
-
-        t, prim, b0, b1 = _sorted_call(scene, o, d, t_max, None, run)
+        # Exact per-ray incidence stream (no sorting needed — the cull is
+        # per ray, not per block); in-kernel treelet walk as the
+        # always-correct fallback for capacity-overflow waves.
+        t_s, prim_s, b0_s, b1_s, ok = stream_closest(
+            scene.treelets, o, d, t_max
+        )
+        t, prim, b0, b1 = jax.lax.cond(
+            ok,
+            lambda _: (t_s, prim_s, b0_s, b1_s),
+            lambda _: treelet_closest(scene.treelets, o, d, t_max),
+            None,
+        )
     else:
         res = intersect_bvh(scene, o, d, t_max, meta.bvh_max_leaf, with_stats)
         if with_stats:
@@ -297,24 +292,16 @@ def any_intersect(scene, meta, o, d, t_max, skip_light) -> jnp.ndarray:
         sh = ray_spheres(o, d, t_max, scene.spheres)
         return occ | sh.hit
     if meta.traversal == "treelet" and _use_pallas():
-        from .ops.trace_pairs import pairs_any
+        from .ops.trace_stream import stream_any
         from .ops.trace_treelets import treelet_any
 
-        cap = _pair_capacity(o.shape[0])
-
-        def run(o_s, d_s, t_s, skip_s):
-            occ_p, n_pairs = pairs_any(
-                scene.treelets, o_s, d_s, t_s, skip_s, max_pairs=cap
-            )
-            occ_s = jax.lax.cond(
-                n_pairs > cap,
-                lambda _: treelet_any(scene.treelets, o_s, d_s, t_s, skip_s),
-                lambda _: occ_p,
-                None,
-            )
-            return (occ_s,)
-
-        (occ,) = _sorted_call(scene, o, d, t_max, skip_light, run)
+        occ_s, ok = stream_any(scene.treelets, o, d, t_max, skip_light)
+        occ = jax.lax.cond(
+            ok,
+            lambda _: occ_s,
+            lambda _: treelet_any(scene.treelets, o, d, t_max, skip_light),
+            None,
+        )
         sh = ray_spheres(o, d, t_max, scene.spheres)
         return occ | sh.hit
     max_leaf = meta.bvh_max_leaf

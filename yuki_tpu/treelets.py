@@ -47,13 +47,14 @@ class TreeletArrays:
     leaf_size: int  # static K
     n_supers: int
     n_treelets: int
+    ts_max: int = 0  # static max treelets in any one super (stream cull)
 
 
 jax.tree_util.register_pytree_node(
     TreeletArrays,
     lambda t: (
         [t.super_bounds, t.super_range, t.treelet_bounds, t.tris_padded],
-        (t.leaf_size, t.n_supers, t.n_treelets),
+        (t.leaf_size, t.n_supers, t.n_treelets, t.ts_max),
     ),
     lambda aux, ch: TreeletArrays(*ch, *aux),
 )
@@ -155,4 +156,5 @@ def build_treelets(
         leaf_size=k,
         n_supers=len(super_rows),
         n_treelets=n_t,
+        ts_max=int(s_range[:, 1].max()) if len(super_rows) else 0,
     )
