@@ -41,8 +41,8 @@ def main():
 
     scene, cam_params, _ = colonnade()
     data, meta = scene.data, scene.meta
-    tl = data.treelets
-    print(f"backend={jax.default_backend()}", flush=True)
+    print(f"backend={jax.default_backend()} chunks={data.chunks.n_treelets}",
+          flush=True)
 
     camera = Camera.create(cam_params, 1920, 1080)
     n = N_TILES * TD * TD
@@ -63,9 +63,11 @@ def main():
     o0, d0 = camera.ray(p_film)
     tmax_full = jnp.full(n, traverse.F32_MAX)
 
-    sc_jit = jax.jit(lambda o, d, t: stream_closest(tl, o, d, t)[:2])
+    ch = data.chunks
+    sp = data.tris.shading_packed
+    sc_jit = jax.jit(lambda o, d, t: stream_closest(ch, sp, o, d, t)[:2])
     sa_jit = jax.jit(
-        lambda o, d, t, s: stream_any(tl, o, d, t, s)[0].sum()
+        lambda o, d, t, s: stream_any(ch, o, d, t, s)[0].sum()
         .astype(jnp.float32)
     )
 

@@ -2,7 +2,8 @@
 
 The stream path (ops/trace_stream.py) must agree exactly with the dense
 sweep on closest hits and occlusion, including rays that miss everything,
-dead lanes (t_max = 0), and capacity-overflow reporting."""
+dead lanes (t_max = 0), candidate-list overflow, and the slot layout's
+exactness/completeness."""
 
 import numpy as np
 import jax
@@ -13,10 +14,10 @@ from yuki_tpu import transforms as tf
 from yuki_tpu import traverse
 from yuki_tpu.intersect import F32_MAX
 from yuki_tpu.ops.trace_stream import (
-    build_stream,
+    build_slots,
+    candidate_lists,
     stream_any,
     stream_closest,
-    _caps,
 )
 from yuki_tpu.scene.data import SceneBuilder
 from yuki_tpu.treelets import build_treelets
@@ -33,7 +34,7 @@ def soup():
     for t in tri:
         b.add_mesh(tf.Transform.identity(), [0, 1, 2], t, material=m)
     sc = b.build(split_method="sah", max_shapes_in_node=4)
-    tl = build_treelets(
+    ch = build_treelets(
         sc.bvh_host,
         np.stack(
             [np.asarray(sc.data.tris.p0), np.asarray(sc.data.tris.p1),
@@ -41,9 +42,9 @@ def soup():
         ),
         np.asarray(sc.data.tris.area_light),
         leaf_size=16,
-        super_size=128,
+        super_size=16,
     )
-    return sc, tl
+    return sc, ch
 
 
 def rays(n, seed):
@@ -54,16 +55,116 @@ def rays(n, seed):
     return o, jnp.asarray(d)
 
 
+def np_crossings(ch, o, d, tm):
+    """Reference per-ray crossed-chunk sets."""
+    cb = np.asarray(ch.treelet_bounds)
+    on, dn, tn = np.asarray(o), np.asarray(d), np.asarray(tm)
+    out = []
+    for r in range(on.shape[0]):
+        s = set()
+        if tn[r] > 0:
+            with np.errstate(divide="ignore", invalid="ignore"):
+                t0 = (cb[:, 0:3] - on[r]) / dn[r]
+                t1 = (cb[:, 3:6] - on[r]) / dn[r]
+            lo = np.nan_to_num(np.minimum(t0, t1), nan=-np.inf).max(axis=1)
+            hi = np.nan_to_num(np.maximum(t0, t1), nan=np.inf).min(axis=1)
+            s = set(np.nonzero(np.maximum(lo, 0.0) <= np.minimum(hi, tn[r]))[0])
+        out.append(s)
+    return out
+
+
+class TestCandidates:
+    def test_lists_exact_and_complete(self, soup):
+        sc, ch = soup
+        o, d = rays(192, 5)
+        tm = jnp.full(192, F32_MAX)
+        lists, ov = jax.jit(
+            candidate_lists, static_argnums=(4,)
+        )(ch, o, d, tm, 64)
+        assert not bool(ov.any())
+        ref = np_crossings(ch, o, d, tm)
+        lists = np.asarray(lists)
+        for r in range(192):
+            got = set(lists[r][lists[r] >= 0])
+            assert got == ref[r], (r, got, ref[r])
+
+    def test_overflow_flagged(self, soup):
+        sc, ch = soup
+        o, d = rays(192, 6)
+        tm = jnp.full(192, F32_MAX)
+        lists, ov = jax.jit(
+            candidate_lists, static_argnums=(4,)
+        )(ch, o, d, tm, 2)
+        ref = np_crossings(ch, o, d, tm)
+        ov = np.asarray(ov)
+        for r in range(192):
+            assert ov[r] == (len(ref[r]) > 2)
+
+    def test_dead_lanes_empty(self, soup):
+        sc, ch = soup
+        o, d = rays(64, 7)
+        lists, ov = jax.jit(
+            candidate_lists, static_argnums=(4,)
+        )(ch, o, d, jnp.zeros(64), 8)
+        assert (np.asarray(lists) == -1).all()
+        assert not bool(ov.any())
+
+
+class TestSlots:
+    def test_layout_exact_complete(self, soup):
+        """Every valid slot's pos maps to a real (ray, chunk) candidate of
+        its row's chunk; every candidate gets exactly one slot."""
+        sc, ch = soup
+        n, C = 256, 16
+        o, d = rays(n, 8)
+        tm = jnp.full(n, F32_MAX)
+        lists, _ = candidate_lists(ch, o, d, tm, C)
+        max_rows = 2 * n * C // 128 + ch.n_treelets + 8
+        slot_pos, row_chunk, valid, ok = jax.jit(
+            build_slots, static_argnums=(0, 1, 3, 4)
+        )(n, ch.n_treelets, lists, C, max_rows)
+        assert bool(ok)
+        lists = np.asarray(lists)
+        slot_pos, row_chunk, valid = map(
+            np.asarray, (slot_pos, row_chunk, valid))
+        seen = set()
+        for j in range(max_rows):
+            for l in range(128):
+                if valid[j, l]:
+                    p = slot_pos[j, l]
+                    r, m = p // C, p % C
+                    assert lists[r, m] == row_chunk[j], (j, l, p)
+                    assert p not in seen
+                    seen.add(p)
+        want = {(r * C + m) for r in range(n) for m in range(C)
+                if lists[r, m] >= 0}
+        assert seen == want
+
+    def test_overflow_reported(self, soup):
+        sc, ch = soup
+        n, C = 256, 16
+        o, d = rays(n, 9)
+        lists, _ = candidate_lists(ch, o, d, jnp.full(n, F32_MAX), C)
+        _, _, _, ok = jax.jit(build_slots, static_argnums=(0, 1, 3, 4))(
+            n, ch.n_treelets, lists, C, 2
+        )
+        assert not bool(ok)
+
+
 class TestStream:
     def test_closest_matches_dense(self, soup):
-        sc, tl = soup
+        sc, ch = soup
         o, d = rays(1024, 1)
         t_max = jnp.full(1024, F32_MAX)
         tref, pref, b0ref, b1ref = traverse.intersect_dense(
             sc.data, o, d, t_max
         )
-        t, p, b0, b1, ok = stream_closest(tl, o, d, t_max, interpret=True)
+        t, p, b0, b1, ov, ok = stream_closest(
+            ch, sc.data.tris.shading_packed, o, d, t_max, C=64,
+            interpret=True,
+        )
         assert bool(ok)
+        assert not bool(ov.any())
         assert np.array_equal(np.asarray(p), np.asarray(pref))
         assert np.allclose(np.asarray(t), np.asarray(tref), rtol=1e-5)
         hit = np.asarray(pref) >= 0
@@ -72,104 +173,74 @@ class TestStream:
         assert np.allclose(np.asarray(b1)[hit], np.asarray(b1ref)[hit],
                            atol=1e-5)
 
+    def test_non_overflow_rays_exact_under_small_C(self, soup):
+        """With a small C, flagged rays may miss hits but unflagged rays
+        must still be exact (the caller re-runs flagged rays wider)."""
+        sc, ch = soup
+        o, d = rays(512, 2)
+        t_max = jnp.full(512, F32_MAX)
+        tref, pref, _, _ = traverse.intersect_dense(sc.data, o, d, t_max)
+        t, p, _, _, ov, ok = stream_closest(
+            ch, sc.data.tris.shading_packed, o, d, t_max, C=4, mult=8,
+            interpret=True,
+        )
+        assert bool(ok)
+        ov = np.asarray(ov)
+        assert ov.any()  # the soup is dense enough that some rays overflow
+        keep = ~ov
+        assert np.array_equal(np.asarray(p)[keep], np.asarray(pref)[keep])
+        assert np.allclose(np.asarray(t)[keep], np.asarray(tref)[keep],
+                           rtol=1e-5)
+
     def test_missing_rays_get_defaults(self, soup):
-        sc, tl = soup
+        sc, ch = soup
         n = 512
         o = jnp.broadcast_to(jnp.asarray([100.0, 100.0, 100.0]), (n, 3))
         d = jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0]), (n, 3))
         t_max = jnp.full(n, F32_MAX)
-        t, p, _, _, ok = stream_closest(tl, o, d, t_max, interpret=True)
+        t, p, _, _, ov, ok = stream_closest(
+            ch, sc.data.tris.shading_packed, o, d, t_max, interpret=True
+        )
         assert bool(ok)
         assert (np.asarray(p) == -1).all()
         assert np.allclose(np.asarray(t), F32_MAX)
 
-    def test_dead_lanes_skip(self, soup):
-        """t_max = 0 lanes (parked rays) must produce no incidence and no
-        hits, even with origins inside the scene."""
-        sc, tl = soup
-        o, d = rays(512, 2)
-        t_max = jnp.zeros(512)
-        t, p, _, _, ok = stream_closest(tl, o, d, t_max, interpret=True)
-        assert bool(ok)
-        assert (np.asarray(p) == -1).all()
-        # axis-aligned direction with zero components must not NaN-poison
-        d0 = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (512, 3))
-        t, p, _, _, ok = stream_closest(
-            tl, o, d0, jnp.full(512, F32_MAX), interpret=True
-        )
-        tref, pref, _, _ = traverse.intersect_dense(
-            sc.data, o, d0, jnp.full(512, F32_MAX)
-        )
-        assert np.array_equal(np.asarray(p), np.asarray(pref))
-
-    def test_any_matches_dense(self, soup):
-        sc, tl = soup
-        o, d = rays(1024, 3)
-        t_max = jnp.full(1024, 2.5)
-        skip = jnp.full(1024, -2, jnp.int32)
-        ref = traverse.any_intersect_dense(sc.data, o, d, t_max, skip)
-        occ, ok = stream_any(tl, o, d, t_max, skip, interpret=True)
-        assert bool(ok)
-        assert np.array_equal(np.asarray(occ), np.asarray(ref))
-
     def test_mixed_live_dead(self, soup):
-        """Half the wave parked: live lanes must still match dense."""
-        sc, tl = soup
+        sc, ch = soup
         o, d = rays(512, 4)
         alive = jnp.arange(512) % 2 == 0
         t_max = jnp.where(alive, F32_MAX, 0.0)
         tref, pref, _, _ = traverse.intersect_dense(sc.data, o, d, t_max)
-        t, p, _, _, ok = stream_closest(tl, o, d, t_max, interpret=True)
+        t, p, _, _, ov, ok = stream_closest(
+            ch, sc.data.tris.shading_packed, o, d, t_max, C=64,
+            interpret=True,
+        )
         a = np.asarray(alive)
         assert np.array_equal(np.asarray(p)[a], np.asarray(pref)[a])
         assert (np.asarray(p)[~a] == -1).all()
 
-
-class TestBuild:
-    def test_stream_layout(self, soup):
-        """Every slot's ray must actually cross its row's treelet AABB
-        (exactness), and every (ray, crossed-treelet) incidence must have a
-        slot (completeness)."""
-        sc, tl = soup
-        n = 256
-        o, d = rays(n, 5)
-        t_max = jnp.full(n, F32_MAX)
-        cap1, cap2, max_slots = _caps(n, tl.n_treelets)
-        slot_ray, row_treelet, ok = jax.jit(
-            build_stream, static_argnums=(4, 5, 6)
-        )(tl, o, d, t_max, cap1, cap2, max_slots)
+    def test_any_matches_dense(self, soup):
+        sc, ch = soup
+        o, d = rays(1024, 3)
+        t_max = jnp.full(1024, 2.5)
+        skip = jnp.full(1024, -2, jnp.int32)
+        ref = traverse.any_intersect_dense(sc.data, o, d, t_max, skip)
+        occ, ov, ok = stream_any(ch, o, d, t_max, skip, C=64,
+                                 interpret=True)
         assert bool(ok)
-        slot_ray = np.asarray(slot_ray)
-        row_treelet = np.asarray(row_treelet)
-        tb = np.asarray(tl.treelet_bounds)
-        on, dn = np.asarray(o), np.asarray(d)
+        assert not bool(ov.any())
+        assert np.array_equal(np.asarray(occ), np.asarray(ref))
 
-        def crosses(r, t):
-            with np.errstate(divide="ignore", invalid="ignore"):
-                t0 = (tb[t, 0:3] - on[r]) / dn[r]
-                t1 = (tb[t, 3:6] - on[r]) / dn[r]
-            lo = np.nan_to_num(np.minimum(t0, t1), nan=-np.inf)
-            hi = np.nan_to_num(np.maximum(t0, t1), nan=np.inf)
-            return max(lo.max(), 0.0) <= hi.min()
-
-        # exactness on every filled slot
-        filled = np.nonzero(slot_ray >= 0)[0]
-        got = set()
-        for s in filled:
-            t = row_treelet[s // 128]
-            assert crosses(slot_ray[s], t), (s, slot_ray[s], t)
-            got.add((slot_ray[s], t))
-        # completeness on a sample of rays
-        for r in range(0, n, 37):
-            for t in range(tl.n_treelets):
-                if crosses(r, t):
-                    assert (r, t) in got, (r, t)
-
-    def test_overflow_reported(self, soup):
-        sc, tl = soup
-        o, d = rays(256, 6)
-        t_max = jnp.full(256, F32_MAX)
-        _, _, ok = jax.jit(build_stream, static_argnums=(4, 5, 6))(
-            tl, o, d, t_max, 8, 8, 1024
+    def test_axis_aligned_dirs(self, soup):
+        """Zero direction components must not NaN-poison the cull."""
+        sc, ch = soup
+        o, _ = rays(512, 10)
+        d0 = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (512, 3))
+        t_max = jnp.full(512, F32_MAX)
+        tref, pref, _, _ = traverse.intersect_dense(sc.data, o, d0, t_max)
+        t, p, _, _, _, ok = stream_closest(
+            ch, sc.data.tris.shading_packed, o, d0, t_max, C=64,
+            interpret=True,
         )
-        assert not bool(ok)
+        assert bool(ok)
+        assert np.array_equal(np.asarray(p), np.asarray(pref))

@@ -3,31 +3,44 @@
 Why this exists: block-granularity culling (trace_pairs.py) conservatively
 unions 1024 divergent bounce rays, which measured ~750 candidate treelets
 per block on the colonnade while the true PER-RAY incidence is only ~3.5
-treelet AABBs (benchmarks/incidence_stats.py) — a ~200x work amplification
-that made one bounce wave cost ~900 ms.  Here the cull is exact per ray
-and the kernel does zero wasted triangle loops:
+AABBs (benchmarks/incidence_stats.py) — a ~200x work amplification that
+made one bounce wave cost ~900 ms.  Sorting doesn't fix it: even a sorted
+128-ray row crosses ~99 distinct treelets (benchmarks/row_union.py).
+Work must scale with TRUE per-ray incidence, which forces a
+chunk-major gathered ray stream.
 
-  1. Hierarchical incidence (all dense XLA, no [N,T] materialization):
-     rays x super AABBs -> compacted (ray, super) pairs -> each pair tests
-     its super's <= ts_max treelet AABBs -> compacted (ray, treelet)
-     incidence pairs.  Counts match the reference's per-ray front-to-back
-     traversal reach (bvh.rs:160-232) without per-lane stacks.
-  2. The pairs are sorted treelet-major (one stable lax.sort) and laid out
-     in a SLOT STREAM: each treelet's incident rays padded to 128-lane
-     rows, so every Pallas grid step processes one (128-ray row, treelet)
-     with perfect lane occupancy.
-  3. The kernel streams each row's gathered rays from one packed plane
-     array and walks the treelet's K triangles 8 AT A TIME: triangle
-     components load as (8,1) sublane vectors broadcasting against (1,128)
-     ray lanes, so one VPU op tests 8 triangles x 128 rays (K/8 steps
-     instead of K).
-  4. Results merge back per ray with scatter-min on t (closest) or
-     scatter-or (any); ties break on lowest prim id, deterministically.
+The build avoids every slow XLA lowering this chip has
+(benchmarks/gather_micro4.py: scalar/narrow gathers and scatters run
+~7-10 ns/element, while 128-lane row gathers stream at ~340 GB/s and
+cumsum/sort/searchsorted are fast):
 
-No ray sorting, no conservative recheck, no chunked cond-launch ladder:
-one pallas_call, grid = stream rows.  Capacity overflow (pathological
-waves) is reported via an `ok` flag; the caller falls back to the exact
-in-kernel treelet walk.
+  1. Scene cut: flat ~128-triangle BVH chunks (treelets.py with
+     supers == chunks); the whole chunk-bounds table is dense.
+  2. Per-ray candidate lists [N, C]: dense slab matrix [N, Ch] packed to
+     uint32 bitmasks, then C lowest-set-bit extractions — all dense VPU
+     ops, no compaction.  Rays crossing more than C chunks are flagged
+     and re-run through a second, wider instantiation (the caller feeds
+     a compacted mini-wave).
+  3. ONE lax.sort of (chunk_key, flat_pos) over [N*C] groups candidates
+     chunk-major; sentinel keys sort to the tail for free.
+  4. Slot layout: each chunk's pairs padded to 128-lane rows.  Slot
+     contents come from the sorted pos array via TWO fast row-gathers
+     plus seven masked lane-rolls (a per-row variable shift decomposed
+     into static power-of-2 rotations) — zero scatters.
+  5. Ray planes reach the kernel through one [N, 128] row-gather (the
+     DMA fast path), transposed to plane-major (8, 128) blocks.
+  6. The Pallas kernel runs one grid step per slot row: the chunk's
+     triangles stream as (8, 1) sublane vectors against (1, 128) ray
+     lanes — one VPU op tests 8 triangles x 128 rays.  Emits (t, prim).
+  7. Merge: results scatter by their ORIGINAL flat position into the
+     dense [N, C] matrix (positions are unique — no combiner races),
+     then a dense min over C with lowest-prim tie-break.  Barycentrics
+     are recomputed for the single winning triangle from the packed
+     shading row (cheaper than carrying them through the merge).
+
+Reference parity: visits the same leaves a per-ray front-to-back stack
+traversal would (bvh.rs:160-302) without per-lane stacks or pointer
+chasing.
 """
 
 from __future__ import annotations
@@ -42,12 +55,15 @@ from jax.experimental.pallas import tpu as pltpu
 from .trace import _watertight, F32_MAX, LANES
 
 BIG = 3.0e38
+C_MAIN = 16  # candidate-list width (colonnade bounce p95 = 9)
+C_WIDE = 80  # overflow pass width (colonnade max measured = 70)
+OV_CAP = 16384  # static mini-wave size for overflow rays
 
 
 def _slab_axis(lo, hi, o, inv, tn, tf):
-    """Fold one axis into running slab interval [tn, tf]; NaN (origin on a
-    parallel slab plane) leaves the axis unconstrained — conservative and
-    exactly the inside-slab case."""
+    """Fold one axis into the running slab interval [tn, tf]; NaN (origin
+    on a parallel slab plane) leaves the axis unconstrained — conservative
+    and exactly the inside-slab case."""
     t0 = (lo - o) * inv
     t1 = (hi - o) * inv
     a = jnp.minimum(t0, t1)
@@ -57,142 +73,146 @@ def _slab_axis(lo, hi, o, inv, tn, tf):
     return jnp.maximum(tn, a), jnp.minimum(tf, b)
 
 
-def _cross_bounds(bounds, o, d, t_max):
-    """bounds [M, 8] vs rays [N,...]: bool [N, M] crossing within [0,t]."""
-    tn = jnp.zeros((o.shape[0], 1), o.dtype)
+def candidate_lists(ch, o, d, t_max, C: int):
+    """Exact per-ray crossed-chunk lists.
+
+    Returns (lists [N, C] i32 (-1 pad, unordered), overflow [N] bool).
+    All dense: slab matrix -> uint32 bitmask words -> C lowest-set-bit
+    extraction passes."""
+    n = o.shape[0]
+    n_c = ch.n_treelets
+    w = -(-n_c // 32)
+    ch_pad = w * 32
+
+    # Dense [N, ch_pad] crossing matrix (padded chunks get empty boxes).
+    cb = ch.treelet_bounds
+    pad = ch_pad - n_c
+    # Padding chunks use lo = hi = +inf: the slab interval degenerates to
+    # a point at t = +-inf on every axis, which can never satisfy
+    # max(tn,0) <= min(tf, t).  (lo=+inf/hi=-inf would FLIP the min/max
+    # and make the interval unbounded instead.)
+    lo_t = jnp.concatenate([cb[:, 0:3], jnp.full((pad, 3), jnp.inf)], 0)
+    hi_t = jnp.concatenate([cb[:, 3:6], jnp.full((pad, 3), jnp.inf)], 0)
+    tn = jnp.zeros((n, 1), o.dtype)
     tf = t_max[:, None]
     for a in range(3):
         inv = (1.0 / d[:, a])[:, None]
         tn, tf = _slab_axis(
-            bounds[None, :, a], bounds[None, :, 3 + a], o[:, a][:, None],
-            inv, tn, tf,
+            lo_t[None, :, a], hi_t[None, :, a], o[:, a][:, None], inv, tn, tf
         )
-    return (tn <= tf) & (t_max > 0.0)[:, None]
+    cross = (tn <= tf) & (t_max > 0.0)[:, None]  # [N, ch_pad]
 
+    bits = jax.lax.broadcasted_iota(jnp.uint32, (1, 1, 32), 2)
+    words = (
+        (cross.reshape(n, w, 32).astype(jnp.uint32) << bits)
+        .sum(axis=2)
+        .astype(jnp.uint32)
+    )  # [N, W]
+    count = jax.lax.population_count(words).sum(axis=1)
+    overflow = count > C
 
-def _compact(flat_mask, flat_payload, cap, sentinel):
-    """Indices-where via cumsum+scatter (jnp.nonzero lowers pathologically
-    on TPU).  Returns (compacted [cap] payload, count)."""
-    pos = jnp.cumsum(flat_mask.astype(jnp.int32))
-    count = pos[-1]
-    tgt = jnp.where(flat_mask, pos - 1, cap)
-    out = jnp.full(cap, sentinel, flat_payload.dtype).at[tgt].set(
-        flat_payload, mode="drop"
-    )
-    return out, count
-
-
-def build_stream(tl, o, d, t_max, cap1: int, cap2: int, max_slots: int):
-    """Exact incidence -> treelet-major 128-aligned slot stream.
-
-    Returns (slot_ray [max_slots] i32 (-1 = empty), row_treelet
-    [max_slots//128] i32, ok bool scalar)."""
-    n = o.shape[0]
-    n_t = tl.n_treelets
-    ts_pad = max(8, -(-tl.ts_max // 8) * 8)
-
-    # --- level 1: ray x super ---------------------------------------
-    cross1 = _cross_bounds(tl.super_bounds, o, d, t_max)  # [N, S]
-    n_s = tl.n_supers
-    flat1 = cross1.reshape(-1)
-    # Pack (ray, super) into one i32 so one compaction pass carries both.
-    packed1 = jax.lax.broadcasted_iota(
-        jnp.int32, (n, n_s), 0
-    ) * jnp.int32(n_s) + jax.lax.broadcasted_iota(jnp.int32, (n, n_s), 1)
-    pair1, n_p1 = _compact(flat1, packed1.reshape(-1), cap1, jnp.int32(-1))
-    p1_ray = jnp.where(pair1 >= 0, pair1 // n_s, -1)
-    p1_sup = jnp.where(pair1 >= 0, pair1 % n_s, 0)
-
-    # --- level 2: (ray, super) x the super's treelets ----------------
-    p1_ray_c = jnp.maximum(p1_ray, 0)
-    o_g = o[p1_ray_c]
-    d_g = d[p1_ray_c]
-    t_g = jnp.where(pair1 >= 0, t_max[p1_ray_c], 0.0)
-    t_first = tl.super_range[p1_sup, 0]  # [P1]
-    t_count = tl.super_range[p1_sup, 1]
-    local = jax.lax.broadcasted_iota(jnp.int32, (cap1, ts_pad), 1)
-    tre_ids = jnp.minimum(
-        t_first[:, None] + local, jnp.int32(n_t - 1)
-    )  # clamped gather index
-    valid2 = (local < t_count[:, None]) & (pair1 >= 0)[:, None]
-
-    tb = tl.treelet_bounds  # [T, 8]
-    tn = jnp.zeros((cap1, ts_pad), o.dtype)
-    tf = jnp.broadcast_to(t_g[:, None], (cap1, ts_pad))
-    for a in range(3):
-        inv = (1.0 / d_g[:, a])[:, None]
-        tn, tf = _slab_axis(
-            tb[tre_ids, a], tb[tre_ids, 3 + a], o_g[:, a][:, None], inv,
-            tn, tf,
+    w_iota = jax.lax.broadcasted_iota(jnp.int32, (n, w), 1)
+    cols = []
+    for _ in range(C):
+        nz = words != 0
+        first_w = jnp.argmin(
+            jnp.where(nz, w_iota, w), axis=1
+        ).astype(jnp.int32)  # [N]
+        sel = w_iota == first_w[:, None]
+        word_sel = jnp.where(sel, words, 0).sum(axis=1).astype(jnp.uint32)
+        lsb = word_sel & (~word_sel + jnp.uint32(1))
+        bit_idx = jax.lax.population_count(lsb - jnp.uint32(1)).astype(
+            jnp.int32
         )
-    cross2 = (tn <= tf) & (t_g > 0.0)[:, None] & valid2
+        valid = word_sel != 0
+        cols.append(
+            jnp.where(valid, first_w * 32 + bit_idx, -1).astype(jnp.int32)
+        )
+        words = jnp.where(sel, words & ~lsb[:, None], words)
+    return jnp.stack(cols, axis=1), overflow
 
-    flat2 = cross2.reshape(-1)
-    ray2 = jnp.broadcast_to(p1_ray_c[:, None], (cap1, ts_pad)).reshape(-1)
-    tre2 = tre_ids.reshape(-1)
-    pair_t, n_p2 = _compact(flat2, tre2, cap2, jnp.int32(n_t))
-    pair_r, _ = _compact(flat2, ray2, cap2, jnp.int32(-1))
 
-    # --- treelet-major order + 128-aligned slot layout ---------------
-    pair_t, pair_r = jax.lax.sort((pair_t, pair_r), num_keys=1, is_stable=True)
+def _var_roll(cat, sh):
+    """Per-row variable left-rotate of [R, 2*LANES] by sh[R] in [0, LANES):
+    seven static power-of-2 lane rolls gated by the shift bits.  This is
+    how a per-row dynamic shift stays a dense VPU op."""
+    for k in range(7):
+        amt = 1 << k
+        on = ((sh >> k) & 1)[:, None] == 1
+        cat = jnp.where(on, jnp.roll(cat, -amt, axis=1), cat)
+    return cat
+
+
+def build_slots(n: int, n_chunks: int, lists, C: int, max_rows: int):
+    """Sorted chunk-major 128-aligned slot layout.
+
+    Returns (slot_pos [max_rows, 128] i32 (sentinel n*C when empty),
+    row_chunk [max_rows] i32, valid [max_rows, 128] bool, ok)."""
+    total_cap = n * C
+    keys = jnp.where(lists >= 0, lists, n_chunks).reshape(-1)
+    pos = jnp.arange(total_cap, dtype=jnp.int32)
+    keys_s, pos_s = jax.lax.sort((keys, pos), num_keys=1)
+
     seg = jnp.searchsorted(
-        pair_t, jnp.arange(n_t + 1, dtype=jnp.int32), side="left"
-    ).astype(jnp.int32)  # [T+1]; seg[T] == n_p2
-    counts = seg[1:] - seg[:-1]  # [T]
+        keys_s, jnp.arange(n_chunks + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+    counts = seg[1:] - seg[:-1]
     aligned = -(-counts // LANES) * LANES
     aligned_off = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(aligned)]
-    )  # [T+1]
+    )
     total_slots = aligned_off[-1]
+    ok = total_slots <= max_rows * LANES
 
-    i = jnp.arange(cap2, dtype=jnp.int32)
-    tk = jnp.minimum(pair_t, n_t)
-    rank = i - seg[tk]
-    slot = jnp.where(
-        pair_t < n_t, aligned_off[tk] + rank, jnp.int32(max_slots)
+    g_tab = aligned_off[:-1] - seg[:-1]  # [Ch], nonnegative, nondecreasing
+    row_off = aligned_off // LANES
+    rows_iota = jnp.arange(max_rows, dtype=jnp.int32)
+    row_chunk = jnp.clip(
+        jnp.searchsorted(row_off, rows_iota, side="right").astype(jnp.int32)
+        - 1,
+        0,
+        n_chunks - 1,
     )
-    slot_ray = jnp.full(max_slots, -1, jnp.int32).at[slot].set(
-        pair_r, mode="drop"
+    row_start = rows_iota * LANES - g_tab[row_chunk]
+    seg_end = seg[row_chunk + 1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (max_rows, LANES), 1)
+    valid = (
+        (row_start[:, None] + lane < seg_end[:, None])
+        & (rows_iota[:, None] * LANES < total_slots)
     )
 
-    max_rows = max_slots // LANES
-    row_off = aligned_off // LANES  # exact: aligned are LANES multiples
-    row_treelet = (
-        jnp.searchsorted(
-            row_off, jnp.arange(max_rows, dtype=jnp.int32), side="right"
-        ).astype(jnp.int32)
-        - 1
+    # Slot contents from pos_s: two row-gathers + variable roll.
+    pos_rows = -(-total_cap // LANES)
+    pos2d = jnp.concatenate(
+        [pos_s, jnp.full((-total_cap) % LANES, total_cap, jnp.int32)]
+    ).reshape(pos_rows, LANES)
+    r0 = jnp.clip(row_start // LANES, 0, pos_rows - 1)
+    r1 = jnp.clip(r0 + 1, 0, pos_rows - 1)
+    cat = jnp.concatenate([pos2d[r0], pos2d[r1]], axis=1)
+    slot_pos = _var_roll(cat, row_start % LANES)[:, :LANES]
+    slot_pos = jnp.where(valid, slot_pos, total_cap)
+    return slot_pos, row_chunk, valid, ok
+
+
+def _pack_stream(o, d, t_max, slot_ray, valid, max_rows):
+    """Ray planes -> plane-major stream [max_rows*8, 128] via ONE wide
+    row-gather (the only fast gather shape on this chip): rays live in a
+    [N, 128] table (cols 0-2 o, 3-5 d, 6 t), slots gather whole rows."""
+    n = o.shape[0]
+    ray_tab = jnp.concatenate(
+        [o, d, t_max[:, None], jnp.zeros((n, LANES - 7), o.dtype)], axis=1
     )
-    row_treelet = jnp.clip(row_treelet, 0, n_t - 1)
-
-    ok = (n_p1 <= cap1) & (n_p2 <= cap2) & (total_slots <= max_slots)
-    return slot_ray, row_treelet, ok
-
-
-def _pack_stream(o, d, t_max, slot_ray, max_rows, extra=None):
-    """Gather ray planes into the slot stream -> packed [max_rows*8, 128]
-    f32 where each row's 7 (8 with `extra`) planes are CONSECUTIVE
-    SUBLANES of its own (8,128) block: sublane 0..2 = o, 3..5 = d, 6 = t,
-    7 = skip/pad.  This keeps every kernel access a static sublane slice —
-    Mosaic rejects dynamic single-sublane loads ("unaligned indices").
-    Empty slots carry t = -1 (dead lanes)."""
-    idx = jnp.maximum(slot_ray, 0)
-    live = slot_ray >= 0
-
-    def plane(x, dead):
-        return jnp.where(live, x[idx], dead).reshape(max_rows, LANES)
-
-    planes = [plane(o[:, k], 0.0) for k in range(3)]
-    planes += [plane(d[:, k], 1.0) for k in range(3)]
-    planes.append(plane(t_max, -1.0))
-    if extra is not None:
-        planes.append(plane(extra.astype(jnp.float32), -2.0))
-    else:
-        planes.append(jnp.zeros((max_rows, LANES), jnp.float32))
-    return jnp.stack(planes, axis=1).reshape(max_rows * 8, LANES)
+    flat_ray = jnp.where(valid, slot_ray, 0).reshape(-1)
+    stream = ray_tab[flat_ray][:, :8]  # [max_rows*128, 8]
+    planes = stream.reshape(max_rows, LANES, 8).transpose(0, 2, 1)
+    # Dead lanes (invalid slots) carry t = -1.
+    planes = planes.at[:, 6, :].set(
+        jnp.where(valid, planes[:, 6, :], -1.0)
+    )
+    return planes.reshape(max_rows * 8, LANES)
 
 
-def _stream_closest_kernel(rt_ref, tri_ref, rp_ref, out_ref, *, leaf_size):
+def _closest_kernel(rc_ref, tri_ref, rp_ref, out_ref, *, leaf_size):
     ox = rp_ref[0:1, :]
     oy = rp_ref[1:2, :]
     oz = rp_ref[2:3, :]
@@ -201,20 +221,17 @@ def _stream_closest_kernel(rt_ref, tri_ref, rp_ref, out_ref, *, leaf_size):
     dz = rp_ref[5:6, :]
     tm = rp_ref[6:7, :]
 
-    # Row result defaults (also covers fully-dead rows).
     out_ref[0:1, :] = tm
     out_ref[1:2, :] = jnp.full(tm.shape, -1.0, jnp.float32)
-    out_ref[2:3, :] = jnp.zeros(tm.shape, jnp.float32)
-    out_ref[3:4, :] = jnp.zeros(tm.shape, jnp.float32)
-    out_ref[4:8, :] = jnp.zeros((4, LANES), jnp.float32)
+    out_ref[2:8, :] = jnp.zeros((6, LANES), jnp.float32)
 
     @pl.when(jnp.any(tm > 0.0))
     def _():
         def step(g, carry):
-            t_best, prim_b, b0_b, b1_b = carry
+            t_best, prim_b = carry
             blk = tri_ref[pl.ds(g * 8, 8), :]  # (8, 128): 8 triangles
-            cols = [blk[:, c : c + 1] for c in range(9)]  # (8,1) each
-            hit, t, b0, b1 = _watertight(ox, oy, oz, dx, dy, dz, t_best, cols)
+            cols = [blk[:, c : c + 1] for c in range(9)]
+            hit, t, _, _ = _watertight(ox, oy, oz, dx, dy, dz, t_best, cols)
             pid = blk[:, 10:11]
             closer = hit & (t < t_best) & (pid >= 0.0)
             t_m = jnp.where(closer, t, F32_MAX)
@@ -223,32 +240,21 @@ def _stream_closest_kernel(rt_ref, tri_ref, rp_ref, out_ref, *, leaf_size):
             pid_b = jnp.broadcast_to(pid, t_m.shape)
             win = closer & (t_m == t_min)
             pid_w = jnp.min(jnp.where(win, pid_b, BIG), axis=0, keepdims=True)
-            sel = win & (pid_b == pid_w)
-            b0_w = jnp.max(jnp.where(sel, b0, -BIG), axis=0, keepdims=True)
-            b1_w = jnp.max(jnp.where(sel, b1, -BIG), axis=0, keepdims=True)
             return (
                 jnp.where(improved, t_min, t_best),
                 jnp.where(improved, pid_w, prim_b),
-                jnp.where(improved, b0_w, b0_b),
-                jnp.where(improved, b1_w, b1_b),
             )
 
         init = (
             jnp.maximum(tm, 0.0),
             jnp.full(tm.shape, -1.0, jnp.float32),
-            jnp.zeros(tm.shape, jnp.float32),
-            jnp.zeros(tm.shape, jnp.float32),
         )
-        t_best, prim_b, b0_b, b1_b = jax.lax.fori_loop(
-            0, leaf_size // 8, step, init
-        )
+        t_best, prim_b = jax.lax.fori_loop(0, leaf_size // 8, step, init)
         out_ref[0:1, :] = t_best
         out_ref[1:2, :] = prim_b
-        out_ref[2:3, :] = b0_b
-        out_ref[3:4, :] = b1_b
 
 
-def _stream_any_kernel(rt_ref, tri_ref, rp_ref, occ_ref, *, leaf_size):
+def _any_kernel(rc_ref, tri_ref, rp_ref, occ_ref, *, leaf_size):
     ox = rp_ref[0:1, :]
     oy = rp_ref[1:2, :]
     oz = rp_ref[2:3, :]
@@ -279,109 +285,145 @@ def _stream_any_kernel(rt_ref, tri_ref, rp_ref, occ_ref, *, leaf_size):
         occ_ref[0:1, :] = occ
 
 
-def _caps(n: int, n_treelets: int):
-    """Static capacities: measured real-wave incidence on the colonnade is
-    ~3.5 treelets/ray mean, p95 9, max 70 (bounce, t unbounded) and ~5.8
-    for primaries; supers crossed per ray is strictly smaller.  Slot
-    capacity adds the worst-case per-treelet 128-alignment padding.
-    Note cap1 drives the level-2 matrix footprint ([cap1, ts_pad] f32
-    temporaries), so waves above ~1M rays should be split by the caller."""
-    cap1 = max(1 << 14, 4 * n)
-    cap2 = max(1 << 16, 12 * n)
-    max_slots = cap2 + n_treelets * LANES
-    max_slots = -(-max_slots // (8 * LANES)) * (8 * LANES)
-    return cap1, cap2, max_slots
+def _max_rows(n: int, C: int, n_chunks: int, mult: int) -> int:
+    """Static slot-row budget: `mult`x rays of real pairs (colonnade
+    means: primary 5.8, bounce 3.5, shadow 2.2 per ray) plus worst-case
+    per-chunk 128-alignment padding."""
+    slots = mult * n + n_chunks * LANES
+    return -(-slots // (8 * LANES)) * 8
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def stream_closest(tl, o, d, t_max, interpret: bool = False):
-    """Closest hit over the incidence stream.  Returns (t, prim, b0, b1,
-    ok); results are garbage when ok is False (caller must fall back)."""
-    n = o.shape[0]
-    cap1, cap2, max_slots = _caps(n, tl.n_treelets)
-    max_rows = max_slots // LANES
-    slot_ray, row_treelet, ok = build_stream(
-        tl, o, d, t_max, cap1, cap2, max_slots
-    )
-    packed = _pack_stream(o, d, t_max, slot_ray, max_rows)
-    k = tl.leaf_size
-
+def _run_kernel(kernel, ch, row_chunk, packed, max_rows, out_dtype,
+                interpret):
+    k = ch.leaf_size
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(max_rows,),
         in_specs=[
-            pl.BlockSpec((k, 128), lambda p, rt: (rt[p], 0)),
-            pl.BlockSpec((8, LANES), lambda p, rt: (p, 0)),
+            pl.BlockSpec((k, 128), lambda p, rc: (rc[p], 0)),
+            pl.BlockSpec((8, LANES), lambda p, rc: (p, 0)),
         ],
-        out_specs=[pl.BlockSpec((8, LANES), lambda p, rt: (p, 0))],
+        out_specs=[pl.BlockSpec((8, LANES), lambda p, rc: (p, 0))],
     )
     (out,) = pl.pallas_call(
-        functools.partial(_stream_closest_kernel, leaf_size=k),
+        functools.partial(kernel, leaf_size=k),
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((max_rows * 8, LANES), jnp.float32)
-        ],
+        out_shape=[jax.ShapeDtypeStruct((max_rows * 8, LANES), out_dtype)],
         interpret=interpret,
-    )(row_treelet, tl.tris_padded, packed)
+    )(row_chunk, ch.tris_padded, packed)
+    return out.reshape(max_rows, 8, LANES)
 
-    out = out.reshape(max_rows, 8, LANES)
-    slot_t = out[:, 0, :].reshape(-1)
-    slot_prim = out[:, 1, :].reshape(-1)
-    slot_b0 = out[:, 2, :].reshape(-1)
-    slot_b1 = out[:, 3, :].reshape(-1)
 
-    # Per-ray min-t merge; ties (equal t from different treelets) break on
-    # lowest prim id so results don't depend on stream order.
-    valid = (slot_ray >= 0) & (slot_prim >= 0.0)
-    bucket = jnp.where(valid, slot_ray, n)
-    t_best = jnp.full(n + 1, F32_MAX).at[bucket].min(
-        jnp.where(valid, slot_t, F32_MAX)
+def _recompute_bary(shading_packed, o, d, t, prim):
+    """Winner-triangle barycentrics from the packed shading row — cheaper
+    than carrying b0/b1 through the slot merge (one [N, 32] row-gather +
+    a dense watertight pass on exactly one triangle per ray)."""
+    row = shading_packed[jnp.maximum(prim, 0)]
+    cols = [row[:, c] for c in range(9)]
+    hit_mask = prim >= 0
+    t_cur = jnp.where(hit_mask, t * 1.0001 + 1e-6, 0.0)
+    _, _, b0, b1 = _watertight(
+        o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2], t_cur, cols
     )
-    is_w = valid & (slot_t <= t_best[bucket])
-    wbucket = jnp.where(is_w, bucket, n)
-    prim_w = jnp.full(n + 1, BIG).at[wbucket].min(
-        jnp.where(is_w, slot_prim, BIG)
+    return (
+        jnp.where(hit_mask, b0, 0.0),
+        jnp.where(hit_mask, b1, 0.0),
     )
-    is_w2 = is_w & (slot_prim == prim_w[bucket])
-    w2bucket = jnp.where(is_w2, bucket, n)
-    b0_w = jnp.zeros(n + 1).at[w2bucket].max(jnp.where(is_w2, slot_b0, 0.0))
-    b1_w = jnp.zeros(n + 1).at[w2bucket].max(jnp.where(is_w2, slot_b1, 0.0))
-
-    hit = t_best[:n] < F32_MAX
-    t = jnp.where(hit, t_best[:n], t_max)
-    prim = jnp.where(hit, prim_w[:n], -1.0).astype(jnp.int32)
-    return t, prim, b0_w[:n], b1_w[:n], ok
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def stream_any(tl, o, d, t_max, skip_light, interpret: bool = False):
-    """Occlusion over the incidence stream.  Returns (occluded, ok)."""
+@functools.partial(
+    jax.jit, static_argnames=("C", "mult", "interpret")
+)
+def stream_closest(ch, shading_packed, o, d, t_max, C: int = C_MAIN,
+                   mult: int = 6, interpret: bool = False):
+    """Closest hit over the exact incidence stream.
+
+    Returns (t, prim, b0, b1, overflow, ok): `overflow` marks rays whose
+    candidate list exceeded C (their results may MISS hits — the caller
+    re-runs them wider); `ok` False means the slot budget overflowed and
+    the whole wave must fall back."""
     n = o.shape[0]
-    cap1, cap2, max_slots = _caps(n, tl.n_treelets)
-    max_rows = max_slots // LANES
-    slot_ray, row_treelet, ok = build_stream(
-        tl, o, d, t_max, cap1, cap2, max_slots
-    )
-    packed = _pack_stream(o, d, t_max, slot_ray, max_rows, extra=skip_light)
-    k = tl.leaf_size
+    n_c = ch.n_treelets
+    max_rows = _max_rows(n, C, n_c, mult)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(max_rows,),
-        in_specs=[
-            pl.BlockSpec((k, 128), lambda p, rt: (rt[p], 0)),
-            pl.BlockSpec((8, LANES), lambda p, rt: (p, 0)),
-        ],
-        out_specs=[pl.BlockSpec((8, LANES), lambda p, rt: (p, 0))],
+    lists, overflow = candidate_lists(ch, o, d, t_max, C)
+    slot_pos, row_chunk, valid, ok = build_slots(n, n_c, lists, C, max_rows)
+    slot_ray = jnp.where(valid, slot_pos // C, 0)
+    packed = _pack_stream(o, d, t_max, slot_ray, valid, max_rows)
+    out = _run_kernel(
+        _closest_kernel, ch, row_chunk, packed, max_rows, jnp.float32,
+        interpret,
     )
-    (occ,) = pl.pallas_call(
-        functools.partial(_stream_any_kernel, leaf_size=k),
-        grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((max_rows * 8, LANES), jnp.int32)],
-        interpret=interpret,
-    )(row_treelet, tl.tris_padded, packed)
 
-    occ_slots = occ.reshape(max_rows, 8, LANES)[:, 0, :].reshape(-1)
-    bucket = jnp.where(slot_ray >= 0, slot_ray, n)
-    occ_ray = jnp.zeros(n + 1, jnp.int32).at[bucket].max(occ_slots)
-    return occ_ray[:n] > 0, ok
+    slot_t = out[:, 0, :]
+    slot_prim = out[:, 1, :]
+    hitv = valid & (slot_prim >= 0.0)
+    pos_flat = jnp.where(hitv, slot_pos, n * C).reshape(-1)
+    # Positions are unique (one slot per candidate) — plain set scatters.
+    # Sentinel position n*C is out of bounds -> genuinely dropped, so the
+    # unique-indices promise holds for the surviving writes.
+    tmat = (
+        jnp.full(n * C, F32_MAX)
+        .at[pos_flat]
+        .set(jnp.where(hitv, slot_t, F32_MAX).reshape(-1), mode="drop",
+             unique_indices=True)
+        .reshape(n, C)
+    )
+    pmat = (
+        jnp.full(n * C, BIG)
+        .at[pos_flat]
+        .set(jnp.where(hitv, slot_prim, BIG).reshape(-1), mode="drop",
+             unique_indices=True)
+        .reshape(n, C)
+    )
+    t_win = tmat.min(axis=1)
+    # Lowest prim id among exact-t ties (deterministic, order-free).
+    prim_w = jnp.where(tmat == t_win[:, None], pmat, BIG).min(axis=1)
+    hit = t_win < F32_MAX
+    t_out = jnp.where(hit, t_win, t_max)
+    prim = jnp.where(hit, prim_w, -1.0).astype(jnp.int32)
+    b0, b1 = _recompute_bary(shading_packed, o, d, t_out, prim)
+    return t_out, prim, b0, b1, overflow, ok
+
+
+@functools.partial(
+    jax.jit, static_argnames=("C", "mult", "interpret")
+)
+def stream_any(ch, o, d, t_max, skip_light, C: int = C_MAIN,
+               mult: int = 5, interpret: bool = False):
+    """Occlusion over the exact incidence stream.  Returns (occluded,
+    overflow, ok); overflow rays may report unoccluded falsely and must be
+    re-checked by the caller."""
+    n = o.shape[0]
+    n_c = ch.n_treelets
+    max_rows = _max_rows(n, C, n_c, mult)
+
+    lists, overflow = candidate_lists(ch, o, d, t_max, C)
+    slot_pos, row_chunk, valid, ok = build_slots(n, n_c, lists, C, max_rows)
+    slot_ray = jnp.where(valid, slot_pos // C, 0)
+
+    # skip plane rides the 8th sublane of the ray table.
+    ray_tab = jnp.concatenate(
+        [o, d, t_max[:, None], skip_light.astype(jnp.float32)[:, None],
+         jnp.zeros((n, LANES - 8), o.dtype)],
+        axis=1,
+    )
+    flat_ray = jnp.where(valid, slot_ray, 0).reshape(-1)
+    stream = ray_tab[flat_ray][:, :8]
+    planes = stream.reshape(max_rows, LANES, 8).transpose(0, 2, 1)
+    planes = planes.at[:, 6, :].set(
+        jnp.where(valid, planes[:, 6, :], -1.0)
+    )
+    packed = planes.reshape(max_rows * 8, LANES)
+
+    occ = _run_kernel(
+        _any_kernel, ch, row_chunk, packed, max_rows, jnp.int32, interpret
+    )
+    occ_slot = (occ[:, 0, :] > 0) & valid
+    bucket = jnp.where(occ_slot, slot_ray, n).reshape(-1)
+    occ_ray = (
+        jnp.zeros(n + 1, jnp.int32)
+        .at[bucket]
+        .max(occ_slot.astype(jnp.int32).reshape(-1), mode="drop")
+    )
+    return occ_ray[:n] > 0, overflow, ok

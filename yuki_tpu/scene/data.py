@@ -171,6 +171,8 @@ class SceneData:
     textures: TextureAtlas
     bvh: Any  # bvh.BvhArrays
     treelets: Any  # treelets.TreeletArrays | None (large scenes only)
+    chunks: Any  # treelets.TreeletArrays | None: flat ~128-tri BVH cut for
+    # the incidence-stream traversal (ops/trace_stream.py); supers == chunks
     background: Any  # [3]
     world_lo: Any  # [3] scene AABB (bvh.bounds() parity for debug rays)
     world_hi: Any  # [3]
@@ -543,6 +545,7 @@ class SceneBuilder:
         # Large scenes additionally get the two-level treelet structure for
         # the Pallas block-traversal kernels (treelets.py).
         treelet_arrays = None
+        chunk_arrays = None
         if nt > DENSE_TRI_THRESHOLD:
             from ..treelets import build_treelets
 
@@ -555,6 +558,17 @@ class SceneBuilder:
                 # in-leaf tests are cheap on the VPU.
                 leaf_size=64,
                 super_size=4096,
+            )
+            # Flat ~128-tri chunk cut for the exact-incidence stream
+            # traversal: one level (supers == chunks), fat leaves so the
+            # per-ray candidate list stays short (mean ~3 on the
+            # colonnade) while in-chunk dense tests stay VPU-cheap.
+            chunk_arrays = build_treelets(
+                bvh_host,
+                tri_p,
+                np.concatenate(self._tri_light),
+                leaf_size=128,
+                super_size=128,
             )
         world_lo = bvh_host.node_lo[0].copy()
         world_hi = bvh_host.node_hi[0].copy()
@@ -578,6 +592,7 @@ class SceneBuilder:
             textures=textures,
             bvh=bvh_host.to_device(),
             treelets=treelet_arrays,
+            chunks=chunk_arrays,
             background=jnp.asarray(self.background),
             world_lo=jnp.asarray(world_lo),
             world_hi=jnp.asarray(world_hi),

@@ -225,6 +225,23 @@ def _pair_capacity(n_rays: int) -> int:
     return max(393216, 2 * n_rays)
 
 
+_Z_DIR = jnp.asarray([0.0, 0.0, 1.0])
+
+
+def _compact_indices(mask, cap: int):
+    """Indices of set mask lanes, padded with n (out of bounds) to a
+    static cap.  cumsum + one N-input scatter (~2 ms at 262k — fine at
+    wave scale, never at slot scale)."""
+    n = mask.shape[0]
+    posn = jnp.cumsum(mask.astype(jnp.int32))
+    cnt = posn[-1]
+    tgt = jnp.where(mask, posn - 1, cap)
+    idx = jnp.full(cap, n, jnp.int32).at[tgt].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop"
+    )
+    return idx, cnt
+
+
 def _sorted_call(scene, o, d, t_max, extra, fn):
     """Sort rays by coherence key, call fn on the sorted SoA, unsort."""
     order = jnp.argsort(ray_sort_key(scene, o, d))
@@ -243,15 +260,46 @@ def intersect(scene, meta, o, d, t_max, with_stats: bool = False):
     if meta.traversal == "dense" and not with_stats:
         t, prim, b0, b1 = intersect_dense(scene, o, d, t_max)
     elif meta.traversal == "treelet" and not with_stats and _use_pallas():
-        from .ops.trace_stream import stream_closest
+        from .ops import trace_stream as ts
         from .ops.trace_treelets import treelet_closest
 
-        # Exact per-ray incidence stream (no sorting needed — the cull is
-        # per ray, not per block); in-kernel treelet walk as the
-        # always-correct fallback for capacity-overflow waves.
-        t_s, prim_s, b0_s, b1_s, ok = stream_closest(
-            scene.treelets, o, d, t_max
+        # Exact per-ray incidence stream (no ray sorting needed — the cull
+        # is per ray, not per block).  Rays whose candidate list exceeds
+        # C_MAIN re-run as a compacted mini-wave through a wider
+        # instantiation; a capacity blow-out (pathological waves) falls
+        # back to the in-kernel treelet walk.
+        sp = scene.tris.shading_packed
+        t_s, prim_s, b0_s, b1_s, ov, ok = ts.stream_closest(
+            scene.chunks, sp, o, d, t_max
         )
+        idx, n_ov = _compact_indices(ov, ts.OV_CAP)
+        live = jnp.arange(ts.OV_CAP) < n_ov
+        o2 = jnp.where(live[:, None], o[idx], 0.0)
+        d2 = jnp.where(live[:, None], d[idx], _Z_DIR)
+        t2 = jnp.where(live, t_max[idx], 0.0)
+
+        def run_wide(_):
+            t_w, p_w, b0_w, b1_w, ov2, ok2 = ts.stream_closest(
+                scene.chunks, sp, o2, d2, t2, C=ts.C_WIDE, mult=ts.C_WIDE
+            )
+            return (
+                t_s.at[idx].set(jnp.where(live, t_w, t_s[idx]), mode="drop"),
+                prim_s.at[idx].set(
+                    jnp.where(live, p_w, prim_s[idx]), mode="drop"),
+                b0_s.at[idx].set(jnp.where(live, b0_w, b0_s[idx]),
+                                 mode="drop"),
+                b1_s.at[idx].set(jnp.where(live, b1_w, b1_s[idx]),
+                                 mode="drop"),
+                ok2 & ~jnp.any(ov2 & live),
+            )
+
+        def skip_wide(_):
+            return t_s, prim_s, b0_s, b1_s, jnp.asarray(True)
+
+        t_s, prim_s, b0_s, b1_s, ok2 = jax.lax.cond(
+            n_ov > 0, run_wide, skip_wide, None
+        )
+        ok = ok & ok2 & (n_ov <= ts.OV_CAP)
         t, prim, b0, b1 = jax.lax.cond(
             ok,
             lambda _: (t_s, prim_s, b0_s, b1_s),
@@ -292,10 +340,34 @@ def any_intersect(scene, meta, o, d, t_max, skip_light) -> jnp.ndarray:
         sh = ray_spheres(o, d, t_max, scene.spheres)
         return occ | sh.hit
     if meta.traversal == "treelet" and _use_pallas():
-        from .ops.trace_stream import stream_any
+        from .ops import trace_stream as ts
         from .ops.trace_treelets import treelet_any
 
-        occ_s, ok = stream_any(scene.treelets, o, d, t_max, skip_light)
+        occ_s, ov, ok = ts.stream_any(
+            scene.chunks, o, d, t_max, skip_light
+        )
+        idx, n_ov = _compact_indices(ov, ts.OV_CAP)
+        live = jnp.arange(ts.OV_CAP) < n_ov
+
+        def run_wide(_):
+            o2 = jnp.where(live[:, None], o[idx], 0.0)
+            d2 = jnp.where(live[:, None], d[idx], _Z_DIR)
+            t2 = jnp.where(live, t_max[idx], 0.0)
+            s2 = jnp.where(live, skip_light[idx], -2)
+            occ_w, ov2, ok2 = ts.stream_any(
+                scene.chunks, o2, d2, t2, s2, C=ts.C_WIDE, mult=ts.C_WIDE
+            )
+            return (
+                occ_s.at[idx].set(
+                    jnp.where(live, occ_w, occ_s[idx]), mode="drop"),
+                ok2 & ~jnp.any(ov2 & live),
+            )
+
+        def skip_wide(_):
+            return occ_s, jnp.asarray(True)
+
+        occ_s, ok2 = jax.lax.cond(n_ov > 0, run_wide, skip_wide, None)
+        ok = ok & ok2 & (n_ov <= ts.OV_CAP)
         occ = jax.lax.cond(
             ok,
             lambda _: occ_s,
