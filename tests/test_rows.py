@@ -1,0 +1,123 @@
+"""Row-union traversal tests (interpret mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from yuki_tpu import transforms as tf
+from yuki_tpu import traverse
+from yuki_tpu.intersect import F32_MAX
+from yuki_tpu.ops.trace_rows import (
+    row_candidate_lists,
+    rows_any,
+    rows_closest,
+)
+from yuki_tpu.scene.data import SceneBuilder
+from yuki_tpu.treelets import build_treelets
+
+
+@pytest.fixture(scope="module")
+def soup():
+    rng = np.random.default_rng(11)
+    n_tris = 500
+    base = (rng.random((n_tris, 1, 3)) - 0.5) * 6
+    tri = (base + rng.standard_normal((n_tris, 3, 3)) * 0.25).astype(np.float32)
+    b = SceneBuilder()
+    m = b.add_matte()
+    for t in tri:
+        b.add_mesh(tf.Transform.identity(), [0, 1, 2], t, material=m)
+    sc = b.build(split_method="sah", max_shapes_in_node=4)
+    ch = build_treelets(
+        sc.bvh_host,
+        np.stack(
+            [np.asarray(sc.data.tris.p0), np.asarray(sc.data.tris.p1),
+             np.asarray(sc.data.tris.p2)], axis=1,
+        ),
+        np.asarray(sc.data.tris.area_light),
+        leaf_size=16,
+        super_size=16,
+    )
+    return sc, ch
+
+
+def rays(n, seed):
+    rng = np.random.default_rng(seed)
+    o = jnp.asarray((rng.random((n, 3), np.float32) - 0.5) * 6)
+    d = rng.standard_normal((n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return o, jnp.asarray(d)
+
+
+class TestRows:
+    def test_closest_matches_dense(self, soup):
+        sc, ch = soup
+        o, d = rays(1024, 1)
+        t_max = jnp.full(1024, F32_MAX)
+        tref, pref, _, _ = traverse.intersect_dense(sc.data, o, d, t_max)
+        # soup chunks are tiny (leaf 16) so row unions are large: C=64
+        t, p, ov = rows_closest(ch, o, d, t_max, C=64, mult=64,
+                                interpret=True)
+        keep = ~np.asarray(ov)
+        assert keep.any()
+        assert np.array_equal(np.asarray(p)[keep], np.asarray(pref)[keep])
+        assert np.allclose(np.asarray(t)[keep], np.asarray(tref)[keep],
+                           rtol=1e-5)
+
+    def test_any_matches_dense(self, soup):
+        sc, ch = soup
+        o, d = rays(1024, 3)
+        t_max = jnp.full(1024, 2.5)
+        skip = jnp.full(1024, -2, jnp.int32)
+        ref = traverse.any_intersect_dense(sc.data, o, d, t_max, skip)
+        occ, ov = rows_any(ch, o, d, t_max, skip, C=64, mult=64,
+                           interpret=True)
+        keep = ~np.asarray(ov)
+        assert keep.any()
+        assert np.array_equal(np.asarray(occ)[keep], np.asarray(ref)[keep])
+
+    def test_row_overflow_flagged(self, soup):
+        sc, ch = soup
+        o, d = rays(256, 5)
+        t_max = jnp.full(256, F32_MAX)
+        lists, ov = jax.jit(
+            row_candidate_lists, static_argnums=(4,)
+        )(ch, o, d, t_max, 4)
+        lists, ov = np.asarray(lists), np.asarray(ov)
+        # every non-overflow row's list is exact: check against per-ray
+        # reference crossings OR'd per row
+        cb = np.asarray(ch.treelet_bounds)
+        on, dn = np.asarray(o), np.asarray(d)
+        for j in range(2):
+            union = set()
+            for l in range(128):
+                r = j * 128 + l
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    t0 = (cb[:, 0:3] - on[r]) / dn[r]
+                    t1 = (cb[:, 3:6] - on[r]) / dn[r]
+                lo = np.nan_to_num(np.minimum(t0, t1), nan=-np.inf).max(1)
+                hi = np.nan_to_num(np.maximum(t0, t1), nan=np.inf).min(1)
+                union |= set(np.nonzero(np.maximum(lo, 0) <= hi)[0])
+            assert ov[j] == (len(union) > 4)
+            if not ov[j]:
+                assert set(lists[j][lists[j] >= 0]) == union
+
+    def test_dead_lanes(self, soup):
+        sc, ch = soup
+        o, d = rays(256, 6)
+        t, p, ov = rows_closest(ch, o, d, jnp.zeros(256), C=64, mult=64,
+                                interpret=True)
+        assert (np.asarray(p) == -1).all()
+
+    def test_mixed_live_dead(self, soup):
+        sc, ch = soup
+        o, d = rays(256, 7)
+        alive = jnp.arange(256) % 2 == 0
+        t_max = jnp.where(alive, F32_MAX, 0.0)
+        tref, pref, _, _ = traverse.intersect_dense(sc.data, o, d, t_max)
+        t, p, ov = rows_closest(ch, o, d, t_max, C=64, mult=64,
+                                interpret=True)
+        keep = np.asarray(alive) & ~np.asarray(ov)
+        assert np.array_equal(np.asarray(p)[keep], np.asarray(pref)[keep])
+        dead = ~np.asarray(alive)
+        assert (np.asarray(p)[dead] == -1).all()

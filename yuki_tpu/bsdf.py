@@ -30,6 +30,7 @@ from .sampling import cosine_sample_hemisphere
 from .scene.data import MAT_GLASS, MAT_GLOSSY, MAT_MATTE, MAT_METAL
 from .surface import Surface
 from .textures import eval_texture
+from .gathers import rowgather
 from .vecmath import cross, dot, is_black, normalize_safe
 
 INV_PI = 1.0 / math.pi
@@ -61,7 +62,7 @@ def gather_materials(scene, si: Surface, meta=None) -> MatParams:
     mats = scene.materials
     mid = jnp.maximum(si.material, 0)
     # One wide gather (MaterialArrays.packed) instead of six narrow ones.
-    row = mats.packed[mid]
+    row = rowgather(mats.packed, mid)
     mtype = row[..., 0].astype(jnp.int32)
     c0 = row[..., 1:4]
     c1 = row[..., 4:7]

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from .scene.data import LIGHT_DISTANT, LIGHT_POINT, LIGHT_RECT, LIGHT_SPOT
 from .surface import Surface
 from .transforms import apply_n_jax, apply_p_jax, apply_v_jax
+from .gathers import rowgather
 from .vecmath import dot, normalize_safe
 
 
@@ -117,6 +118,6 @@ def area_light_radiance(scene, si: Surface, w: jnp.ndarray) -> jnp.ndarray:
     rectangular_light.rs:74-82)."""
     has = si.area_light >= 0
     lid = jnp.maximum(si.area_light, 0)
-    le = scene.lights.i[lid]
+    le = rowgather(scene.lights.i, lid)
     front = dot(si.n, w) > 0.0
     return jnp.where((has & front)[..., None], le, 0.0)

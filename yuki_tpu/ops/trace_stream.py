@@ -73,12 +73,10 @@ def _slab_axis(lo, hi, o, inv, tn, tf):
     return jnp.maximum(tn, a), jnp.minimum(tf, b)
 
 
-def candidate_lists(ch, o, d, t_max, C: int):
-    """Exact per-ray crossed-chunk lists.
-
-    Returns (lists [N, C] i32 (-1 pad, unordered), overflow [N] bool).
-    All dense: slab matrix -> uint32 bitmask words -> C lowest-set-bit
-    extraction passes."""
+def cross_words(ch, o, d, t_max):
+    """Dense exact crossing bitmask: uint32 words [N, ceil(Ch/32)].
+    Computed ONCE per wave and shared by the coherent (row-union) and
+    divergent (slot-stream) paths plus the adaptive-dispatch probe."""
     n = o.shape[0]
     n_c = ch.n_treelets
     w = -(-n_c // 32)
@@ -103,21 +101,27 @@ def candidate_lists(ch, o, d, t_max, C: int):
     cross = (tn <= tf) & (t_max > 0.0)[:, None]  # [N, ch_pad]
 
     bits = jax.lax.broadcasted_iota(jnp.uint32, (1, 1, 32), 2)
-    words = (
+    return (
         (cross.reshape(n, w, 32).astype(jnp.uint32) << bits)
         .sum(axis=2)
         .astype(jnp.uint32)
     )  # [N, W]
+
+
+def extract_lists(words, C: int):
+    """uint32 bitmask words [R, W] -> (lists [R, C] i32 (-1 pad, ascending
+    id order), overflow [R] bool) via C lowest-set-bit extractions."""
+    r, w = words.shape
     count = jax.lax.population_count(words).sum(axis=1)
     overflow = count > C
 
-    w_iota = jax.lax.broadcasted_iota(jnp.int32, (n, w), 1)
+    w_iota = jax.lax.broadcasted_iota(jnp.int32, (r, w), 1)
     cols = []
     for _ in range(C):
         nz = words != 0
         first_w = jnp.argmin(
             jnp.where(nz, w_iota, w), axis=1
-        ).astype(jnp.int32)  # [N]
+        ).astype(jnp.int32)  # [R]
         sel = w_iota == first_w[:, None]
         word_sel = jnp.where(sel, words, 0).sum(axis=1).astype(jnp.uint32)
         lsb = word_sel & (~word_sel + jnp.uint32(1))
@@ -130,6 +134,11 @@ def candidate_lists(ch, o, d, t_max, C: int):
         )
         words = jnp.where(sel, words & ~lsb[:, None], words)
     return jnp.stack(cols, axis=1), overflow
+
+
+def candidate_lists(ch, o, d, t_max, C: int):
+    """Exact per-ray crossed-chunk lists (cross_words + extract_lists)."""
+    return extract_lists(cross_words(ch, o, d, t_max), C)
 
 
 def _var_roll(cat, sh):
@@ -212,77 +221,117 @@ def _pack_stream(o, d, t_max, slot_ray, valid, max_rows):
     return planes.reshape(max_rows * 8, LANES)
 
 
-def _closest_kernel(rc_ref, tri_ref, rp_ref, out_ref, *, leaf_size):
-    ox = rp_ref[0:1, :]
-    oy = rp_ref[1:2, :]
-    oz = rp_ref[2:3, :]
-    dx = rp_ref[3:4, :]
-    dy = rp_ref[4:5, :]
-    dz = rp_ref[5:6, :]
-    tm = rp_ref[6:7, :]
+def closest_walk(tri_ref, ox, oy, oz, dx, dy, dz, t0, prim0, *, leaf_size):
+    """Walk one chunk's triangle block for a (1,128) ray group carrying
+    (t, prim).  8 triangles per VPU op."""
 
-    out_ref[0:1, :] = tm
-    out_ref[1:2, :] = jnp.full(tm.shape, -1.0, jnp.float32)
-    out_ref[2:8, :] = jnp.zeros((6, LANES), jnp.float32)
-
-    @pl.when(jnp.any(tm > 0.0))
-    def _():
-        def step(g, carry):
-            t_best, prim_b = carry
-            blk = tri_ref[pl.ds(g * 8, 8), :]  # (8, 128): 8 triangles
-            cols = [blk[:, c : c + 1] for c in range(9)]
-            hit, t, _, _ = _watertight(ox, oy, oz, dx, dy, dz, t_best, cols)
-            pid = blk[:, 10:11]
-            closer = hit & (t < t_best) & (pid >= 0.0)
-            t_m = jnp.where(closer, t, F32_MAX)
-            t_min = jnp.min(t_m, axis=0, keepdims=True)
-            improved = t_min < t_best
-            pid_b = jnp.broadcast_to(pid, t_m.shape)
-            win = closer & (t_m == t_min)
-            pid_w = jnp.min(jnp.where(win, pid_b, BIG), axis=0, keepdims=True)
-            return (
-                jnp.where(improved, t_min, t_best),
-                jnp.where(improved, pid_w, prim_b),
-            )
-
-        init = (
-            jnp.maximum(tm, 0.0),
-            jnp.full(tm.shape, -1.0, jnp.float32),
+    def step(g, carry):
+        t_best, prim_b = carry
+        blk = tri_ref[pl.ds(g * 8, 8), :]  # (8, 128): 8 triangles
+        cols = [blk[:, c : c + 1] for c in range(9)]
+        hit, t, _, _ = _watertight(ox, oy, oz, dx, dy, dz, t_best, cols)
+        pid = blk[:, 10:11]
+        closer = hit & (t < t_best) & (pid >= 0.0)
+        t_m = jnp.where(closer, t, F32_MAX)
+        t_min = jnp.min(t_m, axis=0, keepdims=True)
+        improved = t_min < t_best
+        pid_b = jnp.broadcast_to(pid, t_m.shape)
+        win = closer & (t_m == t_min)
+        pid_w = jnp.min(jnp.where(win, pid_b, BIG), axis=0, keepdims=True)
+        return (
+            jnp.where(improved, t_min, t_best),
+            jnp.where(improved, pid_w, prim_b),
         )
-        t_best, prim_b = jax.lax.fori_loop(0, leaf_size // 8, step, init)
-        out_ref[0:1, :] = t_best
-        out_ref[1:2, :] = prim_b
+
+    return jax.lax.fori_loop(0, leaf_size // 8, step, (t0, prim0))
 
 
-def _any_kernel(rc_ref, tri_ref, rp_ref, occ_ref, *, leaf_size):
-    ox = rp_ref[0:1, :]
-    oy = rp_ref[1:2, :]
-    oz = rp_ref[2:3, :]
-    dx = rp_ref[3:4, :]
-    dy = rp_ref[4:5, :]
-    dz = rp_ref[5:6, :]
-    tm = rp_ref[6:7, :]
-    skip = rp_ref[7:8, :]
+def any_walk(tri_ref, ox, oy, oz, dx, dy, dz, tm, skip, occ0, crossing,
+             *, leaf_size):
+    """Early-exit occlusion walk of one chunk's triangles: done the moment
+    every crossing lane is occluded (bvh.rs:235-302's first-hit return)."""
+    crossing_i = crossing.astype(jnp.int32)
 
-    occ_ref[0:8, :] = jnp.zeros((8, LANES), jnp.int32)
+    def cond(s):
+        g, done, _ = s
+        return (g < leaf_size // 8) & (done == 0)
 
-    @pl.when(jnp.any(tm > 0.0))
-    def _():
-        def step(g, occ):
-            blk = tri_ref[pl.ds(g * 8, 8), :]
-            cols = [blk[:, c : c + 1] for c in range(9)]
-            hit, _, _, _ = _watertight(ox, oy, oz, dx, dy, dz, tm, cols)
-            light = blk[:, 9:10]
-            pid = blk[:, 10:11]
-            blocked = hit & (light != skip) & (pid >= 0.0)
-            return occ | jnp.max(
-                blocked.astype(jnp.int32), axis=0, keepdims=True
+    def body(s):
+        g, _, occ = s
+        blk = tri_ref[pl.ds(g * 8, 8), :]
+        cols = [blk[:, c : c + 1] for c in range(9)]
+        hit, _, _, _ = _watertight(ox, oy, oz, dx, dy, dz, tm, cols)
+        light = blk[:, 9:10]
+        pid = blk[:, 10:11]
+        blocked = hit & (light != skip) & (pid >= 0.0)
+        occ = occ | jnp.max(blocked.astype(jnp.int32), axis=0, keepdims=True)
+        still = jnp.any(crossing_i > occ)
+        return g + 1, jnp.where(still, 0, 1), occ
+
+    _, _, occ = jax.lax.while_loop(cond, body, (0, 0, occ0))
+    return occ
+
+
+QUAD = 4  # slot rows per grid step: quadruple per-step compute so the
+# next step's four 64KB triangle-block DMAs hide behind it (measured
+# ~0.9 us/step pipeline stall at one row per step)
+
+
+def _closest_kernel(rc_ref, t0_ref, t1_ref, t2_ref, t3_ref, rp_ref,
+                    out_ref, *, leaf_size):
+    tris = (t0_ref, t1_ref, t2_ref, t3_ref)
+    for i in range(QUAD):
+        b = 8 * i
+        ox = rp_ref[b : b + 1, :]
+        oy = rp_ref[b + 1 : b + 2, :]
+        oz = rp_ref[b + 2 : b + 3, :]
+        dx = rp_ref[b + 3 : b + 4, :]
+        dy = rp_ref[b + 4 : b + 5, :]
+        dz = rp_ref[b + 5 : b + 6, :]
+        tm = rp_ref[b + 6 : b + 7, :]
+
+        out_ref[b : b + 1, :] = tm
+        out_ref[b + 1 : b + 2, :] = jnp.full(tm.shape, -1.0, jnp.float32)
+        out_ref[b + 2 : b + 8, :] = jnp.zeros((6, LANES), jnp.float32)
+
+        @pl.when(jnp.any(tm > 0.0))
+        def _(i=i, ox=ox, oy=oy, oz=oz, dx=dx, dy=dy, dz=dz, tm=tm, b=b):
+            t_best, prim_b = closest_walk(
+                tris[i], ox, oy, oz, dx, dy, dz,
+                jnp.maximum(tm, 0.0),
+                jnp.full(tm.shape, -1.0, jnp.float32),
+                leaf_size=leaf_size,
             )
+            out_ref[b : b + 1, :] = t_best
+            out_ref[b + 1 : b + 2, :] = prim_b
 
-        occ = jax.lax.fori_loop(
-            0, leaf_size // 8, step, jnp.zeros(tm.shape, jnp.int32)
-        )
-        occ_ref[0:1, :] = occ
+
+def _any_kernel(rc_ref, t0_ref, t1_ref, t2_ref, t3_ref, rp_ref, occ_ref,
+                *, leaf_size):
+    tris = (t0_ref, t1_ref, t2_ref, t3_ref)
+    for i in range(QUAD):
+        b = 8 * i
+        ox = rp_ref[b : b + 1, :]
+        oy = rp_ref[b + 1 : b + 2, :]
+        oz = rp_ref[b + 2 : b + 3, :]
+        dx = rp_ref[b + 3 : b + 4, :]
+        dy = rp_ref[b + 4 : b + 5, :]
+        dz = rp_ref[b + 5 : b + 6, :]
+        tm = rp_ref[b + 6 : b + 7, :]
+        skip = rp_ref[b + 7 : b + 8, :]
+
+        occ_ref[b : b + 8, :] = jnp.zeros((8, LANES), jnp.int32)
+
+        @pl.when(jnp.any(tm > 0.0))
+        def _(i=i, ox=ox, oy=oy, oz=oz, dx=dx, dy=dy, dz=dz, tm=tm,
+              skip=skip, b=b):
+            crossing = tm > 0.0
+            occ = any_walk(
+                tris[i], ox, oy, oz, dx, dy, dz, tm, skip,
+                jnp.zeros(tm.shape, jnp.int32), crossing,
+                leaf_size=leaf_size,
+            )
+            occ_ref[b : b + 1, :] = occ
 
 
 def _max_rows(n: int, C: int, n_chunks: int, mult: int) -> int:
@@ -296,21 +345,25 @@ def _max_rows(n: int, C: int, n_chunks: int, mult: int) -> int:
 def _run_kernel(kernel, ch, row_chunk, packed, max_rows, out_dtype,
                 interpret):
     k = ch.leaf_size
+
+    def tri_spec(i):
+        return pl.BlockSpec(
+            (k, 128), lambda p, rc, i=i: (rc[QUAD * p + i], 0)
+        )
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(max_rows,),
-        in_specs=[
-            pl.BlockSpec((k, 128), lambda p, rc: (rc[p], 0)),
-            pl.BlockSpec((8, LANES), lambda p, rc: (p, 0)),
-        ],
-        out_specs=[pl.BlockSpec((8, LANES), lambda p, rc: (p, 0))],
+        grid=(max_rows // QUAD,),
+        in_specs=[tri_spec(i) for i in range(QUAD)]
+        + [pl.BlockSpec((8 * QUAD, LANES), lambda p, rc: (p, 0))],
+        out_specs=[pl.BlockSpec((8 * QUAD, LANES), lambda p, rc: (p, 0))],
     )
     (out,) = pl.pallas_call(
         functools.partial(kernel, leaf_size=k),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((max_rows * 8, LANES), out_dtype)],
         interpret=interpret,
-    )(row_chunk, ch.tris_padded, packed)
+    )(row_chunk, *([ch.tris_padded] * QUAD), packed)
     return out.reshape(max_rows, 8, LANES)
 
 
@@ -318,7 +371,9 @@ def _recompute_bary(shading_packed, o, d, t, prim):
     """Winner-triangle barycentrics from the packed shading row — cheaper
     than carrying b0/b1 through the slot merge (one [N, 32] row-gather +
     a dense watertight pass on exactly one triangle per ray)."""
-    row = shading_packed[jnp.maximum(prim, 0)]
+    from ..gathers import rowgather
+
+    row = rowgather(shading_packed, jnp.maximum(prim, 0))
     cols = [row[:, c] for c in range(9)]
     hit_mask = prim >= 0
     t_cur = jnp.where(hit_mask, t * 1.0001 + 1e-6, 0.0)
@@ -331,22 +386,21 @@ def _recompute_bary(shading_packed, o, d, t, prim):
     )
 
 
-@functools.partial(
-    jax.jit, static_argnames=("C", "mult", "interpret")
-)
-def stream_closest(ch, shading_packed, o, d, t_max, C: int = C_MAIN,
-                   mult: int = 6, interpret: bool = False):
-    """Closest hit over the exact incidence stream.
+def stream_closest_w(ch, words, o, d, t_max, C: int = C_MAIN,
+                     mult: int = 6, interpret: bool = False):
+    """Closest hit over the exact incidence stream, from precomputed
+    crossing words.
 
-    Returns (t, prim, b0, b1, overflow, ok): `overflow` marks rays whose
-    candidate list exceeded C (their results may MISS hits — the caller
-    re-runs them wider); `ok` False means the slot budget overflowed and
-    the whole wave must fall back."""
+    Returns (t, prim, overflow, ok): `overflow` marks rays whose candidate
+    list exceeded C (their results may MISS hits — the caller re-runs them
+    wider); `ok` False means the slot budget overflowed and the whole wave
+    must fall back.  Barycentrics are NOT computed here — the caller
+    recomputes them once for final winners (_recompute_bary)."""
     n = o.shape[0]
     n_c = ch.n_treelets
     max_rows = _max_rows(n, C, n_c, mult)
 
-    lists, overflow = candidate_lists(ch, o, d, t_max, C)
+    lists, overflow = extract_lists(words, C)
     slot_pos, row_chunk, valid, ok = build_slots(n, n_c, lists, C, max_rows)
     slot_ray = jnp.where(valid, slot_pos // C, 0)
     packed = _pack_stream(o, d, t_max, slot_ray, valid, max_rows)
@@ -382,23 +436,33 @@ def stream_closest(ch, shading_packed, o, d, t_max, C: int = C_MAIN,
     hit = t_win < F32_MAX
     t_out = jnp.where(hit, t_win, t_max)
     prim = jnp.where(hit, prim_w, -1.0).astype(jnp.int32)
-    b0, b1 = _recompute_bary(shading_packed, o, d, t_out, prim)
-    return t_out, prim, b0, b1, overflow, ok
+    return t_out, prim, overflow, ok
 
 
 @functools.partial(
     jax.jit, static_argnames=("C", "mult", "interpret")
 )
-def stream_any(ch, o, d, t_max, skip_light, C: int = C_MAIN,
-               mult: int = 5, interpret: bool = False):
-    """Occlusion over the exact incidence stream.  Returns (occluded,
-    overflow, ok); overflow rays may report unoccluded falsely and must be
-    re-checked by the caller."""
+def stream_closest(ch, shading_packed, o, d, t_max, C: int = C_MAIN,
+                   mult: int = 6, interpret: bool = False):
+    """Standalone slot-stream closest hit (computes words + bary)."""
+    words = cross_words(ch, o, d, t_max)
+    t, prim, overflow, ok = stream_closest_w(
+        ch, words, o, d, t_max, C=C, mult=mult, interpret=interpret
+    )
+    b0, b1 = _recompute_bary(shading_packed, o, d, t, prim)
+    return t, prim, b0, b1, overflow, ok
+
+
+def stream_any_w(ch, words, o, d, t_max, skip_light, C: int = C_MAIN,
+                 mult: int = 5, interpret: bool = False):
+    """Occlusion over the exact incidence stream, from precomputed
+    crossing words.  Returns (occluded, overflow, ok); overflow rays may
+    report unoccluded falsely and must be re-checked by the caller."""
     n = o.shape[0]
     n_c = ch.n_treelets
     max_rows = _max_rows(n, C, n_c, mult)
 
-    lists, overflow = candidate_lists(ch, o, d, t_max, C)
+    lists, overflow = extract_lists(words, C)
     slot_pos, row_chunk, valid, ok = build_slots(n, n_c, lists, C, max_rows)
     slot_ray = jnp.where(valid, slot_pos // C, 0)
 
@@ -427,3 +491,16 @@ def stream_any(ch, o, d, t_max, skip_light, C: int = C_MAIN,
         .max(occ_slot.astype(jnp.int32).reshape(-1), mode="drop")
     )
     return occ_ray[:n] > 0, overflow, ok
+
+
+@functools.partial(
+    jax.jit, static_argnames=("C", "mult", "interpret")
+)
+def stream_any(ch, o, d, t_max, skip_light, C: int = C_MAIN,
+               mult: int = 5, interpret: bool = False):
+    """Standalone slot-stream occlusion (computes words internally)."""
+    words = cross_words(ch, o, d, t_max)
+    return stream_any_w(
+        ch, words, o, d, t_max, skip_light, C=C, mult=mult,
+        interpret=interpret,
+    )

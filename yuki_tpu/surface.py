@@ -11,6 +11,7 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
+from .gathers import rowgather
 from .vecmath import (
     coordinate_system,
     cross,
@@ -52,7 +53,7 @@ def make_surface(scene, hit: SceneHit, o, d) -> Surface:
     # TriangleArrays.shading_packed) — TPU gathers cost per *call*, so one
     # [N,32] fetch beats 17 narrow ones by a wide margin.
     pr = jnp.maximum(hit.prim, 0)
-    row = scene.tris.shading_packed[pr]  # [N,32]
+    row = rowgather(scene.tris.shading_packed, pr)  # [N,32]
     p0, p1, p2 = row[..., 0:3], row[..., 3:6], row[..., 6:9]
     n0, n1, n2 = row[..., 9:12], row[..., 12:15], row[..., 15:18]
     uv0, uv1, uv2 = row[..., 18:20], row[..., 20:22], row[..., 22:24]

@@ -11,14 +11,16 @@ the -0.5 texel-center offset and Rust truncation-toward-zero cast.
 from __future__ import annotations
 
 import numpy as np
+
+from .gathers import gather1d
 import jax.numpy as jnp
 
 
 def eval_texture(atlas, tex_id: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
     """tex_id [N] i32 (must be >=0, caller masks), uv [N,2] -> [N,3]."""
-    w = atlas.width[tex_id]
-    h = atlas.height[tex_id]
-    off = atlas.offset[tex_id]
+    w = gather1d(atlas.width, tex_id)
+    h = gather1d(atlas.height, tex_id)
+    off = gather1d(atlas.offset, tex_id)
     s = uv[..., 0] - jnp.floor(uv[..., 0])
     t = uv[..., 1] - jnp.floor(uv[..., 1])
     t = 1.0 - t

@@ -227,6 +227,12 @@ def _pair_capacity(n_rays: int) -> int:
 
 _Z_DIR = jnp.asarray([0.0, 0.0, 1.0])
 
+# Adaptive traversal dispatch: a wave whose average row-union pair count
+# is at or below this threshold walks rows (coherent path); above it the
+# per-ray slot stream wins (measured crossover on the colonnade: primary
+# 8.7/row vs bounce 57/row).
+_COHERENT_ROW_PAIRS = 16
+
 
 def _compact_indices(mask, cap: int):
     """Indices of set mask lanes, padded with n (out of bounds) to a
@@ -260,18 +266,41 @@ def intersect(scene, meta, o, d, t_max, with_stats: bool = False):
     if meta.traversal == "dense" and not with_stats:
         t, prim, b0, b1 = intersect_dense(scene, o, d, t_max)
     elif meta.traversal == "treelet" and not with_stats and _use_pallas():
+        from .ops import trace_rows as tr
         from .ops import trace_stream as ts
         from .ops.trace_treelets import treelet_closest
 
-        # Exact per-ray incidence stream (no ray sorting needed — the cull
-        # is per ray, not per block).  Rays whose candidate list exceeds
-        # C_MAIN re-run as a compacted mini-wave through a wider
-        # instantiation; a capacity blow-out (pathological waves) falls
-        # back to the in-kernel treelet walk.
+        # Adaptive exact-incidence traversal: the crossing bitmask is
+        # computed once; the per-row union pair count decides AT RUNTIME
+        # between the coherent row-union walk (primary-style waves, no
+        # gather/sort/merge) and the divergent slot stream (bounce waves).
+        # Rays whose candidate list overflows re-run as a compacted
+        # mini-wave through a wider instantiation; a capacity blow-out
+        # falls back to the in-kernel treelet walk.
         sp = scene.tris.shading_packed
-        t_s, prim_s, b0_s, b1_s, ov, ok = ts.stream_closest(
-            scene.chunks, sp, o, d, t_max
+        ch = scene.chunks
+        n = o.shape[0]
+        rows = n // 128
+        words = ts.cross_words(ch, o, d, t_max)
+        row_words = tr.row_words_of(words, rows)
+        row_pairs = jax.lax.population_count(row_words).sum().astype(
+            jnp.int32
         )
+        coherent = row_pairs <= rows * _COHERENT_ROW_PAIRS
+
+        def rows_branch(_):
+            t_r, p_r, ov_r = tr.rows_closest_w(
+                ch, row_words, o, d, t_max, mult=_COHERENT_ROW_PAIRS + 2
+            )
+            return t_r, p_r, ov_r, jnp.asarray(True)
+
+        def slot_branch(_):
+            return ts.stream_closest_w(ch, words, o, d, t_max)
+
+        t_s, prim_s, ov, ok = jax.lax.cond(
+            coherent, rows_branch, slot_branch, None
+        )
+
         idx, n_ov = _compact_indices(ov, ts.OV_CAP)
         live = jnp.arange(ts.OV_CAP) < n_ov
         o2 = jnp.where(live[:, None], o[idx], 0.0)
@@ -279,27 +308,22 @@ def intersect(scene, meta, o, d, t_max, with_stats: bool = False):
         t2 = jnp.where(live, t_max[idx], 0.0)
 
         def run_wide(_):
-            t_w, p_w, b0_w, b1_w, ov2, ok2 = ts.stream_closest(
-                scene.chunks, sp, o2, d2, t2, C=ts.C_WIDE, mult=ts.C_WIDE
+            t_w, p_w, _, _, ov2, ok2 = ts.stream_closest(
+                ch, sp, o2, d2, t2, C=ts.C_WIDE, mult=ts.C_WIDE
             )
             return (
                 t_s.at[idx].set(jnp.where(live, t_w, t_s[idx]), mode="drop"),
                 prim_s.at[idx].set(
                     jnp.where(live, p_w, prim_s[idx]), mode="drop"),
-                b0_s.at[idx].set(jnp.where(live, b0_w, b0_s[idx]),
-                                 mode="drop"),
-                b1_s.at[idx].set(jnp.where(live, b1_w, b1_s[idx]),
-                                 mode="drop"),
                 ok2 & ~jnp.any(ov2 & live),
             )
 
         def skip_wide(_):
-            return t_s, prim_s, b0_s, b1_s, jnp.asarray(True)
+            return t_s, prim_s, jnp.asarray(True)
 
-        t_s, prim_s, b0_s, b1_s, ok2 = jax.lax.cond(
-            n_ov > 0, run_wide, skip_wide, None
-        )
+        t_s, prim_s, ok2 = jax.lax.cond(n_ov > 0, run_wide, skip_wide, None)
         ok = ok & ok2 & (n_ov <= ts.OV_CAP)
+        b0_s, b1_s = ts._recompute_bary(sp, o, d, t_s, prim_s)
         t, prim, b0, b1 = jax.lax.cond(
             ok,
             lambda _: (t_s, prim_s, b0_s, b1_s),
@@ -340,11 +364,35 @@ def any_intersect(scene, meta, o, d, t_max, skip_light) -> jnp.ndarray:
         sh = ray_spheres(o, d, t_max, scene.spheres)
         return occ | sh.hit
     if meta.traversal == "treelet" and _use_pallas():
+        from .ops import trace_rows as tr
         from .ops import trace_stream as ts
         from .ops.trace_treelets import treelet_any
 
-        occ_s, ov, ok = ts.stream_any(
-            scene.chunks, o, d, t_max, skip_light
+        # Adaptive occlusion: row-union walk for coherent waves, slot
+        # stream for divergent ones (see intersect above); overflow rays
+        # re-run per-ray through the wide slot stream.
+        ch = scene.chunks
+        n = o.shape[0]
+        rows = n // 128
+        words = ts.cross_words(ch, o, d, t_max)
+        row_words = tr.row_words_of(words, rows)
+        row_pairs = jax.lax.population_count(row_words).sum().astype(
+            jnp.int32
+        )
+        coherent = row_pairs <= rows * _COHERENT_ROW_PAIRS
+
+        def rows_branch(_):
+            occ_r, ov_r = tr.rows_any_w(
+                ch, row_words, o, d, t_max, skip_light,
+                mult=_COHERENT_ROW_PAIRS + 2,
+            )
+            return occ_r, ov_r, jnp.asarray(True)
+
+        def slot_branch(_):
+            return ts.stream_any_w(ch, words, o, d, t_max, skip_light)
+
+        occ_s, ov, ok = jax.lax.cond(
+            coherent, rows_branch, slot_branch, None
         )
         idx, n_ov = _compact_indices(ov, ts.OV_CAP)
         live = jnp.arange(ts.OV_CAP) < n_ov
