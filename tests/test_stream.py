@@ -244,3 +244,19 @@ class TestStream:
         )
         assert bool(ok)
         assert np.array_equal(np.asarray(p), np.asarray(pref))
+
+
+class TestCrossWordsKernel:
+    def test_matches_xla(self, soup):
+        """The Pallas cross-words kernel must produce bitwise-identical
+        words to the dense XLA reference, including dead lanes and
+        axis-aligned directions."""
+        import yuki_tpu.ops.trace_stream as ts
+
+        sc, ch = soup
+        o, d = rays(512, 21)
+        d = d.at[0:64].set(jnp.asarray([0.0, 0.0, 1.0]))
+        t_max = jnp.where(jnp.arange(512) % 3 == 0, 0.0, F32_MAX)
+        ref = ts._cross_words_xla(ch, o, d, t_max)
+        got = ts._cross_words_tpu(ch, o, d, t_max, interpret=True)
+        assert np.array_equal(np.asarray(got), np.asarray(ref))

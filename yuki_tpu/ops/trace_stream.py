@@ -73,10 +73,114 @@ def _slab_axis(lo, hi, o, inv, tn, tf):
     return jnp.maximum(tn, a), jnp.minimum(tf, b)
 
 
-def cross_words(ch, o, d, t_max):
+def _cross_words_kernel(cb_ref, rp_ref, out_ref, *, w_words, w_pad):
+    """Per-128-ray-row crossing bitmask: chunks stream through VMEM as
+    (8,1) sublane vectors against (1,128) ray lanes; bits pack across
+    sublanes by disjoint-bit weighted sums (two's-complement adds of
+    disjoint bits == OR).  Out: (w_pad, 128) i32, sublane w = word w."""
+    ox = rp_ref[0:1, :]
+    oy = rp_ref[1:2, :]
+    oz = rp_ref[2:3, :]
+    dx = rp_ref[3:4, :]
+    dy = rp_ref[4:5, :]
+    dz = rp_ref[5:6, :]
+    tm = rp_ref[6:7, :]
+
+    out_ref[0:w_pad, :] = jnp.zeros((w_pad, LANES), jnp.int32)
+
+    @pl.when(jnp.any(tm > 0.0))
+    def _():
+        ix, iy, iz = 1.0 / dx, 1.0 / dy, 1.0 / dz
+        live = tm > 0.0
+        sub = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+        words = []
+        for wi in range(w_words):
+            acc = jnp.zeros((1, LANES), jnp.int32)
+            for q in range(4):
+                g = wi * 4 + q
+                blk = cb_ref[pl.ds(g * 8, 8), :]  # (8, 8): 8 chunk bounds
+
+                def axis(lo, hi, o_, inv, tn, tf):
+                    t0 = (lo - o_) * inv
+                    t1 = (hi - o_) * inv
+                    a = jnp.minimum(t0, t1)
+                    b = jnp.maximum(t0, t1)
+                    a = jnp.where(jnp.isnan(a), -jnp.inf, a)
+                    b = jnp.where(jnp.isnan(b), jnp.inf, b)
+                    return jnp.maximum(tn, a), jnp.minimum(tf, b)
+
+                tn = jnp.zeros((1, LANES), jnp.float32)
+                tf = tm
+                tn, tf = axis(blk[:, 0:1], blk[:, 3:4], ox, ix, tn, tf)
+                tn, tf = axis(blk[:, 1:2], blk[:, 4:5], oy, iy, tn, tf)
+                tn, tf = axis(blk[:, 2:3], blk[:, 5:6], oz, iz, tn, tf)
+                cross = (jnp.maximum(tn, 0.0) <= tf) & live
+                weight = jnp.int32(1) << (sub + 8 * q)
+                acc = acc + jnp.sum(
+                    cross.astype(jnp.int32) * weight, axis=0, keepdims=True
+                )
+            words.append(acc)
+        out_ref[0:w_words, :] = jnp.concatenate(words, axis=0)
+
+
+def _cross_words_tpu(ch, o, d, t_max, interpret=False):
+    """Pallas cross_words: the [N, Ch] slab matrix never touches HBM."""
+    n = o.shape[0]
+    rows = n // LANES
+    n_c = ch.n_treelets
+    w_words = -(-n_c // 32)
+    w_pad = -(-w_words // 8) * 8
+    gpad = w_words * 4 * 8 - n_c  # bounds rows up to full words
+    cb = jnp.concatenate(
+        [ch.treelet_bounds[:, :8],
+         jnp.full((gpad, 8), jnp.inf, jnp.float32)], axis=0
+    )
+
+    planes = [o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2], t_max,
+              jnp.zeros_like(t_max)]
+    packed = jnp.stack(
+        [p.reshape(rows, LANES) for p in planes], axis=1
+    ).reshape(rows * 8, LANES)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(rows,),
+        in_specs=[
+            pl.BlockSpec(cb.shape, lambda p: (0, 0)),
+            pl.BlockSpec((8, LANES), lambda p: (p, 0)),
+        ],
+        out_specs=[pl.BlockSpec((w_pad, LANES), lambda p: (p, 0))],
+    )
+    (out,) = pl.pallas_call(
+        functools.partial(_cross_words_kernel, w_words=w_words, w_pad=w_pad),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((rows * w_pad, LANES), jnp.int32)],
+        interpret=interpret,
+    )(cb, packed)
+    words = (
+        out.reshape(rows, w_pad, LANES)[:, :w_words, :]
+        .transpose(0, 2, 1)
+        .reshape(n, w_words)
+    )
+    return jax.lax.bitcast_convert_type(words, jnp.uint32)
+
+
+def cross_words(ch, o, d, t_max, interpret: bool = False):
     """Dense exact crossing bitmask: uint32 words [N, ceil(Ch/32)].
     Computed ONCE per wave and shared by the coherent (row-union) and
-    divergent (slot-stream) paths plus the adaptive-dispatch probe."""
+    divergent (slot-stream) paths plus the adaptive-dispatch probe.
+    Pallas on TPU (the slab matrix stays in VMEM; the XLA form measured
+    ~30 ms per 262k wave in HBM traffic); dense XLA elsewhere."""
+    import jax as _jax
+
+    n = o.shape[0]
+    if (interpret or _jax.default_backend() == "tpu") and n % LANES == 0:
+        return _cross_words_tpu(ch, o, d, t_max, interpret=interpret)
+    return _cross_words_xla(ch, o, d, t_max)
+
+
+def _cross_words_xla(ch, o, d, t_max):
+    """Reference dense-XLA crossing words (CPU tests, odd wave sizes)."""
     n = o.shape[0]
     n_c = ch.n_treelets
     w = -(-n_c // 32)
