@@ -92,7 +92,7 @@ def make_sharded_wave_renderer(
     assert samples_per_launch % n_sample_shards == 0
     samples_per_shard = samples_per_launch // n_sample_shards
 
-    def shard_fn(origins, sample_base, seed):
+    def shard_fn(data, origins, sample_base, seed):
         # Which sample generations this shard owns.
         shard_idx = jax.lax.axis_index("samples")
         acc = None
@@ -110,16 +110,25 @@ def make_sharded_wave_renderer(
         rays = jax.lax.psum(rays, axis_name=("tiles", "samples"))
         return acc, rays
 
+    # Scene arrays are a replicated ARGUMENT, not a closure constant (the
+    # remote compiler inlines constants into the compile payload — see
+    # renderer.make_wave_renderer).
+    data_spec = jax.tree_util.tree_map(lambda _: P(), data)
     mapped = jax.shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P("tiles", None), P(), P()),
+        in_specs=(data_spec, P("tiles", None), P(), P()),
         out_specs=(P("tiles", None, None, None), P()),
         # Loop carries start replicated and become device-varying; skip the
         # varying-manual-axes type check rather than pvary every init.
         check_vma=False,
     )
-    return jax.jit(mapped)
+    jitted = jax.jit(mapped)
+
+    def call(origins, sample_base, seed):
+        return jitted(data, origins, sample_base, seed)
+
+    return call
 
 
 def default_mesh(

@@ -71,7 +71,12 @@ def make_wave_renderer(
     data = scene.data
     meta = scene.meta
 
-    def render_wave(origins, sample_index, seed):
+    # Scene arrays travel as a jit ARGUMENT, not a closure constant: the
+    # remote compiler inlines closure constants into the compile payload,
+    # and the chunk + treelet triangle tables alone exceed its request
+    # size limit on large scenes (HTTP 413).  Passing the pytree keeps
+    # the payload small and the arrays device-resident across calls.
+    def render_wave(data, origins, sample_index, seed):
         b = origins.shape[0]
         iy, ix = jnp.meshgrid(
             jnp.arange(td, dtype=jnp.int32),
@@ -104,7 +109,12 @@ def make_wave_renderer(
         rays = jnp.sum(res.ray_count.astype(jnp.float32))
         return pixels, rays
 
-    return jax.jit(render_wave)
+    jitted = jax.jit(render_wave)
+
+    def call(origins, sample_index, seed):
+        return jitted(data, origins, sample_index, seed)
+
+    return call
 
 
 # --- status messages (renderer/mod.rs:21-32) ------------------------------
