@@ -202,6 +202,11 @@ class SceneMeta:
     # Any matte binds a Texture<f32> sigma (textures/mod.rs:12-16); the
     # extra per-lane sigma gather is dropped at trace time otherwise.
     has_sigma_tex: bool = False
+    # Static slot-stream pair budget per ray (ops/trace_stream mult):
+    # estimated at build time from sampled diffuse-bounce chunk incidence
+    # so open scenes (atrium: mean 6.4) don't overflow the budget into
+    # the slow fallback walk while tight ones don't overpay for capacity.
+    slot_mult: int = 6
 
 
 @dataclass
@@ -216,6 +221,39 @@ class Scene:
     @property
     def name(self) -> str:
         return self.meta.name
+
+
+def _estimate_slot_mult(chunks, tri_p, n_sample: int = 8192,
+                        seed: int = 17) -> int:
+    """Sampled diffuse-bounce chunk incidence -> static slot budget.
+
+    Host-side numpy: random surface points with cosine-ish hemisphere
+    directions slab-tested against every chunk AABB (the same exact cull
+    trace_stream uses).  The budget is mean * 1.3 + 2 so p95-ish waves
+    still fit; clamped to [6, 16]."""
+    cb = np.asarray(chunks.treelet_bounds)
+    rng = np.random.default_rng(seed)
+    nt = tri_p.shape[0]
+    ids = rng.integers(0, nt, n_sample)
+    u = rng.random((n_sample, 1)).astype(np.float32)
+    v = (rng.random((n_sample, 1)) * (1 - u)).astype(np.float32)
+    p0, p1, p2 = tri_p[ids, 0], tri_p[ids, 1], tri_p[ids, 2]
+    orig = p0 + u * (p1 - p0) + v * (p2 - p0)
+    nrm = np.cross(p1 - p0, p2 - p0)
+    nrm /= np.maximum(np.linalg.norm(nrm, axis=1, keepdims=True), 1e-12)
+    dirs = rng.standard_normal((n_sample, 3)).astype(np.float32)
+    dirs /= np.maximum(np.linalg.norm(dirs, axis=1, keepdims=True), 1e-12)
+    flip = (dirs * nrm).sum(1, keepdims=True) < 0
+    dirs = np.where(flip, -dirs, dirs).astype(np.float32)
+    orig = (orig + 1e-3 * nrm).astype(np.float32)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        inv = 1.0 / dirs
+        t0 = (cb[None, :, 0:3] - orig[:, None, :]) * inv[:, None, :]
+        t1 = (cb[None, :, 3:6] - orig[:, None, :]) * inv[:, None, :]
+    tn = np.nan_to_num(np.minimum(t0, t1), nan=-np.inf).max(axis=2)
+    tf = np.nan_to_num(np.maximum(t0, t1), nan=np.inf).min(axis=2)
+    mean_inc = float((np.maximum(tn, 0.0) <= tf).sum(axis=1).mean())
+    return int(np.clip(np.ceil(mean_inc * 1.3) + 2, 6, 16))
 
 
 class SceneBuilder:
@@ -570,6 +608,7 @@ class SceneBuilder:
                 leaf_size=128,
                 super_size=128,
             )
+            slot_mult = _estimate_slot_mult(chunk_arrays, tri_p)
         world_lo = bvh_host.node_lo[0].copy()
         world_hi = bvh_host.node_hi[0].copy()
         for s in self._spheres:
@@ -612,6 +651,7 @@ class SceneBuilder:
             ),
             has_textures=any(int(m["tex0"]) >= 0 for m in mats),
             has_sigma_tex=any(int(m.get("tex1", -1)) >= 0 for m in mats),
+            slot_mult=slot_mult if nt > DENSE_TRI_THRESHOLD else 6,
             bvh_max_leaf=bvh_host.max_leaf,
             traversal="dense" if nt <= DENSE_TRI_THRESHOLD else "treelet",
         )

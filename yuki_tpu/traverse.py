@@ -295,7 +295,9 @@ def intersect(scene, meta, o, d, t_max, with_stats: bool = False):
             return t_r, p_r, ov_r, jnp.asarray(True)
 
         def slot_branch(_):
-            return ts.stream_closest_w(ch, words, o, d, t_max)
+            return ts.stream_closest_w(
+                ch, words, o, d, t_max, mult=meta.slot_mult
+            )
 
         t_s, prim_s, ov, ok = jax.lax.cond(
             coherent, rows_branch, slot_branch, None
@@ -389,7 +391,10 @@ def any_intersect(scene, meta, o, d, t_max, skip_light) -> jnp.ndarray:
             return occ_r, ov_r, jnp.asarray(True)
 
         def slot_branch(_):
-            return ts.stream_any_w(ch, words, o, d, t_max, skip_light)
+            return ts.stream_any_w(
+                ch, words, o, d, t_max, skip_light,
+                mult=max(4, meta.slot_mult - 2),
+            )
 
         occ_s, ov, ok = jax.lax.cond(
             coherent, rows_branch, slot_branch, None
