@@ -80,7 +80,7 @@ def main():
     import jax.numpy as jnp
 
     from yuki_tpu.scene.testscenes import colonnade
-    from yuki_tpu.ops.trace_dispatch import (
+    from trace_dispatch import (
         dispatch_closest, dispatch_any, ray_candidate_tiles)
     from yuki_tpu.ops.trace_pairs import pairs_closest
 

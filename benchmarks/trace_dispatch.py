@@ -40,7 +40,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .trace import _watertight, F32_MAX, LANES
+from yuki_tpu.ops.trace import _watertight, F32_MAX, LANES
 
 TILE_ROWS = 8  # sublanes per tile
 TILE = TILE_ROWS * LANES  # pair slots per tile (1024)

@@ -39,7 +39,16 @@ def rowgather(table, idx):
 
 
 def gather1d(vec, idx):
-    """vec [K], idx [N] -> [N] via the same small-table strategy."""
-    return rowgather(vec.astype(jnp.float32)[:, None], idx)[..., 0].astype(
-        vec.dtype
-    ) if vec.shape[0] <= SMALL_TABLE_ROWS else vec[idx]
+    """vec [K], idx [N] -> [N] via the same small-table strategy.
+
+    Integer vectors take the plain-gather path regardless of K: the MXU
+    route round-trips values through f32, which silently corrupts ints
+    above 2^24 (e.g. texture-atlas flat texel offsets at a few 2K
+    textures — advisor round-2 finding)."""
+    if vec.shape[0] <= SMALL_TABLE_ROWS and jnp.issubdtype(
+        vec.dtype, jnp.floating
+    ):
+        return rowgather(vec.astype(jnp.float32)[:, None], idx)[..., 0].astype(
+            vec.dtype
+        )
+    return vec[idx]

@@ -46,6 +46,24 @@ class PathParams:
 # rays whose 1/d = inf turns the traversal slab tests into NaNs.
 _BENIGN_D = jnp.asarray([0.0, 0.0, 1.0])
 
+# Hard ceiling on Whitted specular-tree steps.  A full binary glass tree
+# at the viewer's max depth of 12 would otherwise be a 4095-step
+# sequential scan reachable from the UI (round-2 verdict item 6); 255
+# steps covers every full tree to depth 8 and every practical
+# reflect/transmit chain above that (truncation drops only stack entries
+# of paths that were ALL glass for 8+ consecutive bounces).
+_MAX_SPECULAR_STEPS = 255
+
+
+def whitted_step_budget(depth_cap: int, has_glass: bool) -> int:
+    """Static loop bound for whitted_li's DFS scan: glass-free scenes are
+    statically one trace/shade pass (no specular child can ever spawn —
+    glass is the sole dual-lobe material, whitted.rs:38-70); glass scenes
+    get the full-tree bound capped at _MAX_SPECULAR_STEPS."""
+    if not has_glass:
+        return 1
+    return max(1, min(2 ** depth_cap - 1, _MAX_SPECULAR_STEPS))
+
 
 class LiResult(NamedTuple):
     li: jnp.ndarray  # [N,3]
@@ -234,11 +252,7 @@ def whitted_li(scene, meta, params: WhittedParams, sampler: Sampler,
 
     shape = o.shape[:-1]
     depth_cap = params.max_depth
-    if MAT_GLASS not in meta.material_types:
-        # No specular children can ever spawn: one trace/shade pass.
-        n_steps = 1
-    else:
-        n_steps = max(2 ** depth_cap - 1, 1)
+    n_steps = whitted_step_budget(depth_cap, MAT_GLASS in meta.material_types)
     stack_size = max(depth_cap, 1)
     n_lights = len(meta.light_types)
     dims_per_step = 2 * n_lights

@@ -102,7 +102,14 @@ def sample_li(scene, light_index: int, light_type: int, si: Surface, u) -> Light
         # wavefront occlusion cull's t-intervals cover the whole treelet
         # table — measured minutes-per-wave on the colonnade at 10000x
         # scene scale.  Image-identical.
-        diag = jnp.linalg.norm(scene.world_hi - scene.world_lo) + 1e-3
+        # 1.002 safety factor: _nee traces shadow segments with
+        # t_max = 0.9999 of the chord, so an unscaled diagonal would leave
+        # the final ~1e-4*diag untested — an occluder flush against the
+        # scene-AABB boundary along a near-diagonal light direction could
+        # slip through (advisor round-2 finding).
+        diag = (
+            jnp.linalg.norm(scene.world_hi - scene.world_lo) * 1.002 + 1e-3
+        )
         target = si.p + w * diag
         return LightSample(
             l=jnp.broadcast_to(w, si.p.shape), li=li,

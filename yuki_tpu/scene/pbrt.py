@@ -480,7 +480,11 @@ def load_pbrt(load_settings) -> tuple[Scene, CameraParameters, FilmSettings]:
             ttype = ts.string()
             tclass = ts.string()
             params = _parse_params(ts)
-            if ttype == "spectrum" and tclass == "imagemap":
+            if ttype in ("spectrum", "float") and tclass == "imagemap":
+                # "float" imagemaps (the type a Texture<f32> sigma binding
+                # actually uses in pbrt) register into the same atlas;
+                # grayscale data replicates across RGB on decode, matching
+                # bsdf.py's channel-0 sigma read.
                 fname = _find_scalar(params, "filename", "string", "")
                 if not fname:
                     raise PbrtParseError(f"missing file for texture {name!r}")

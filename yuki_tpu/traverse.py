@@ -232,6 +232,11 @@ _Z_DIR = jnp.asarray([0.0, 0.0, 1.0])
 # per-ray slot stream wins (measured crossover on the colonnade: primary
 # 8.7/row vs bounce 57/row).
 _COHERENT_ROW_PAIRS = 16
+# Rows-branch pair budget: threshold + worst-case QUAD(4) alignment pad
+# per row + the forced >=1 pair for empty rows (advisor round-2: mult=18
+# was tight against the dispatch threshold — near-threshold waves
+# overflowed into the treelet fallback).
+_ROWS_MULT = _COHERENT_ROW_PAIRS + 4 + 1
 
 
 def _compact_indices(mask, cap: int):
@@ -246,6 +251,31 @@ def _compact_indices(mask, cap: int):
         jnp.arange(n, dtype=jnp.int32), mode="drop"
     )
     return idx, cnt
+
+
+def _pad128(scene, o, d, t_max, *extras):
+    """Pad a ray batch to the next 128 multiple with benign parked rays
+    (center origin, unit z, t_max=0 — dead for every cull/kernel).  The
+    treelet engines reshape [n] -> [n//128, 128]; arbitrary batch sizes
+    (viewer debug rays start at ONE ray) must pad or crash at trace time
+    (advisor round-2 finding).  Returns (o, d, t_max, *extras) padded."""
+    n = o.shape[0]
+    pad = (-n) % 128
+    if pad == 0:
+        return (o, d, t_max) + extras
+    center = jnp.broadcast_to(
+        0.5 * (scene.world_lo + scene.world_hi), (pad, 3)
+    )
+    out = (
+        jnp.concatenate([o, center]),
+        jnp.concatenate([d, jnp.broadcast_to(_Z_DIR, (pad, 3))]),
+        jnp.concatenate([t_max, jnp.zeros(pad, t_max.dtype)]),
+    )
+    for e in extras:
+        out = out + (
+            jnp.concatenate([e, jnp.full(pad, -2, e.dtype)]),
+        )
+    return out
 
 
 def _sorted_call(scene, o, d, t_max, extra, fn):
@@ -279,6 +309,8 @@ def intersect(scene, meta, o, d, t_max, with_stats: bool = False):
         # falls back to the in-kernel treelet walk.
         sp = scene.tris.shading_packed
         ch = scene.chunks
+        n0 = o.shape[0]
+        o, d, t_max = _pad128(scene, o, d, t_max)
         n = o.shape[0]
         rows = n // 128
         words = ts.cross_words(ch, o, d, t_max)
@@ -290,7 +322,7 @@ def intersect(scene, meta, o, d, t_max, with_stats: bool = False):
 
         def rows_branch(_):
             t_r, p_r, ov_r = tr.rows_closest_w(
-                ch, row_words, o, d, t_max, mult=_COHERENT_ROW_PAIRS + 2
+                ch, row_words, o, d, t_max, mult=_ROWS_MULT
             )
             return t_r, p_r, ov_r, jnp.asarray(True)
 
@@ -332,6 +364,8 @@ def intersect(scene, meta, o, d, t_max, with_stats: bool = False):
             lambda _: treelet_closest(scene.treelets, o, d, t_max),
             None,
         )
+        o, d, t_max = o[:n0], d[:n0], t_max[:n0]
+        t, prim, b0, b1 = t[:n0], prim[:n0], b0[:n0], b1[:n0]
     else:
         res = intersect_bvh(scene, o, d, t_max, meta.bvh_max_leaf, with_stats)
         if with_stats:
@@ -374,6 +408,8 @@ def any_intersect(scene, meta, o, d, t_max, skip_light) -> jnp.ndarray:
         # stream for divergent ones (see intersect above); overflow rays
         # re-run per-ray through the wide slot stream.
         ch = scene.chunks
+        n0 = o.shape[0]
+        o, d, t_max, skip_light = _pad128(scene, o, d, t_max, skip_light)
         n = o.shape[0]
         rows = n // 128
         words = ts.cross_words(ch, o, d, t_max)
@@ -386,7 +422,7 @@ def any_intersect(scene, meta, o, d, t_max, skip_light) -> jnp.ndarray:
         def rows_branch(_):
             occ_r, ov_r = tr.rows_any_w(
                 ch, row_words, o, d, t_max, skip_light,
-                mult=_COHERENT_ROW_PAIRS + 2,
+                mult=_ROWS_MULT,
             )
             return occ_r, ov_r, jnp.asarray(True)
 
@@ -427,8 +463,9 @@ def any_intersect(scene, meta, o, d, t_max, skip_light) -> jnp.ndarray:
             lambda _: treelet_any(scene.treelets, o, d, t_max, skip_light),
             None,
         )
+        o, d, t_max = o[:n0], d[:n0], t_max[:n0]
         sh = ray_spheres(o, d, t_max, scene.spheres)
-        return occ | sh.hit
+        return occ[:n0] | sh.hit
     max_leaf = meta.bvh_max_leaf
     bvh = scene.bvh
     n_nodes = bvh.node_lo.shape[0]
