@@ -76,8 +76,20 @@ def _nee(scene, meta, sampler: Sampler, ctx: SampleCtx, si: Surface,
          mp, dim, active):
     """Direct lighting summed over every scene light (the fold in
     path.rs:102-124 / whitted.rs:119-141).  ``dim`` may be a Python int or a
-    traced i32 scalar. Returns (radiance, next_dim)."""
-    total = jnp.zeros_like(si.p)
+    traced i32 scalar. Returns (radiance, next_dim).
+
+    All lights' shadow rays batch into ONE any_intersect call (round-3):
+    per-call fixed costs (coherence sort, adaptive dispatch, the
+    static-size overflow mini-wave) are paid once instead of per light,
+    and the denser combined wave sorts into tighter blocks (measured
+    round-2: bounce pairs/block fall ~35% when wave size doubles).
+    Contribution math is unchanged — same per-light samples, same
+    occlusion semantics as the reference's sequential fold."""
+    n_lights = len(meta.light_types)
+    if n_lights == 0:
+        return jnp.zeros_like(si.p), dim
+    center = 0.5 * (scene.world_lo + scene.world_hi)
+    contribs, worths, rays = [], [], []
     for li_idx, ltype in enumerate(meta.light_types):
         u = sampler.get_2d(ctx, dim)
         dim = dim + 2
@@ -94,16 +106,39 @@ def _nee(scene, meta, sampler: Sampler, ctx: SampleCtx, si: Surface,
         # lanes carry |p| ~ 3e38 origins which would poison their whole
         # sorted BLOCK's origin bounds in the traversal cull (one bad
         # lane makes the block match every treelet).
-        center = 0.5 * (scene.world_lo + scene.world_hi)
         o_s = jnp.where(worth[..., None], o_s, center)
         d_s = jnp.where(worth[..., None], d_s, _BENIGN_D)
         t_s = jnp.where(worth, 0.9999, 0.0)
-        with pass_scope("trace.occlusion"):
-            occluded = traverse.any_intersect(
-                scene, meta, o_s, d_s, t_s, ls.skip_light,
-            )
-        contrib = f * ls.li * (cos / jnp.maximum(ls.pdf, 1e-30))[..., None]
-        total = total + jnp.where((worth & ~occluded)[..., None], contrib, 0.0)
+        skip = jnp.broadcast_to(ls.skip_light, worth.shape)
+        contribs.append(
+            f * ls.li * (cos / jnp.maximum(ls.pdf, 1e-30))[..., None]
+        )
+        worths.append(worth)
+        rays.append((o_s, d_s, t_s, skip))
+
+    shape = si.p.shape[:-1]
+    if n_lights == 1:
+        o_b, d_b, t_b, s_b = rays[0]
+    else:
+        o_b = jnp.concatenate([r[0].reshape(-1, 3) for r in rays])
+        d_b = jnp.concatenate([r[1].reshape(-1, 3) for r in rays])
+        t_b = jnp.concatenate([r[2].reshape(-1) for r in rays])
+        s_b = jnp.concatenate([r[3].reshape(-1) for r in rays])
+    with pass_scope("trace.occlusion"):
+        occ_b = traverse.any_intersect(scene, meta, o_b, d_b, t_b, s_b)
+    if n_lights == 1:
+        occs = [occ_b]
+    else:
+        occs = [
+            occ.reshape(shape)
+            for occ in jnp.split(occ_b, n_lights)
+        ]
+
+    total = jnp.zeros_like(si.p)
+    for worth, occluded, contrib in zip(worths, occs, contribs):
+        total = total + jnp.where(
+            (worth & ~occluded)[..., None], contrib, 0.0
+        )
     return total, dim
 
 

@@ -37,6 +37,85 @@ def _tri_cols(tri_ref, i):
     return [tri_ref[i, k] for k in range(9)]
 
 
+def _ray_shear(dx, dy, dz):
+    """Per-ray watertight setup, hoisted out of triangle loops: the axis
+    permutation masks, the shear constants, and the 1/dz divide depend
+    only on the RAY, but _watertight recomputed them for every 8-triangle
+    step (16x per chunk walk) — including a per-step divide.  Returns
+    (x_max, y_max, sx, sy, inv_dz); z_max = ~(x_max | y_max)."""
+    adx, ady, adz = jnp.abs(dx), jnp.abs(dy), jnp.abs(dz)
+    x_max = (adx > ady) & (adx > adz)
+    y_max = (~x_max) & (ady > adz)
+    ddx = jnp.where(x_max, dy, jnp.where(y_max, dz, dx))
+    ddy = jnp.where(x_max, dz, jnp.where(y_max, dx, dy))
+    ddz = jnp.where(x_max, dx, jnp.where(y_max, dy, dz))
+    inv_dz = 1.0 / ddz
+    return x_max, y_max, -ddx * inv_dz, -ddy * inv_dz, inv_dz
+
+
+def _watertight_scaled(pre, ox, oy, oz, cols):
+    """Divide-free watertight test against precomputed ray shear `pre`
+    (_ray_shear).  Returns (ok, ts, det) in SCALED space: det > 0, the
+    real distance is t = ts / det, and `ok` covers sign consistency,
+    det != 0 and ts > 0 — the caller enforces the upper t bound by
+    cross-multiplication (ts <= t_cur * det), which is how the per-step
+    1/det divide (and the wasted barycentric divides in occlusion walks)
+    disappear from the hot loops."""
+    x_max, y_max, sx, sy, inv_dz = pre
+    p0x, p0y, p0z, p1x, p1y, p1z, p2x, p2y, p2z = cols
+
+    def permute(vx, vy, vz):
+        px = jnp.where(x_max, vy, jnp.where(y_max, vz, vx))
+        py = jnp.where(x_max, vz, jnp.where(y_max, vx, vy))
+        pz = jnp.where(x_max, vx, jnp.where(y_max, vy, vz))
+        return px, py, pz
+
+    p0tx, p0ty, p0tz = permute(p0x - ox, p0y - oy, p0z - oz)
+    p1tx, p1ty, p1tz = permute(p1x - ox, p1y - oy, p1z - oz)
+    p2tx, p2ty, p2tz = permute(p2x - ox, p2y - oy, p2z - oz)
+
+    p0tx += sx * p0tz
+    p0ty += sy * p0tz
+    p1tx += sx * p1tz
+    p1ty += sy * p1tz
+    p2tx += sx * p2tz
+    p2ty += sy * p2tz
+
+    e0 = p1tx * p2ty - p1ty * p2tx
+    e1 = p2tx * p0ty - p2ty * p0tx
+    e2 = p0tx * p1ty - p0ty * p1tx
+
+    miss_sign = ((e0 < 0) | (e1 < 0) | (e2 < 0)) & (
+        (e0 > 0) | (e1 > 0) | (e2 > 0)
+    )
+    det = e0 + e1 + e2
+    ts = (e0 * p0tz + e1 * p1tz + e2 * p2tz) * inv_dz
+    neg = det < 0.0
+    ts = jnp.where(neg, -ts, ts)
+    det = jnp.where(neg, -det, det)
+    ok = ~miss_sign & (det != 0.0) & (ts > 0.0)
+    return ok, ts, det
+
+
+def _scaled_min8(ts, det, prim):
+    """Reduce per-sublane (8,128) scaled-hit carries to the (1,128)
+    closest: tournament of cross-multiplied compares (det > 0), lowest
+    prim id on exact scaled ties — one divide total happens later, at
+    the caller."""
+    while ts.shape[0] > 1:
+        h = ts.shape[0] // 2
+        ts_a, ts_b = ts[:h], ts[h:]
+        det_a, det_b = det[:h], det[h:]
+        pr_a, pr_b = prim[:h], prim[h:]
+        lhs = ts_b * det_a
+        rhs = ts_a * det_b
+        take_b = (lhs < rhs) | ((lhs == rhs) & (pr_b < pr_a))
+        ts = jnp.where(take_b, ts_b, ts_a)
+        det = jnp.where(take_b, det_b, det_a)
+        prim = jnp.where(take_b, pr_b, pr_a)
+    return ts, det, prim
+
+
 def _watertight(ox, oy, oz, dx, dy, dz, t_cur, cols):
     """Watertight test for one broadcast triangle against a ray block.
 

@@ -108,8 +108,10 @@ def _row_pairs(lists, rows: int, C: int, cap: int):
     return pair_row, pair_chunk, quad_row, n_pairs
 
 
-def _recheck(cb_ref, tt, ox, oy, oz, dx, dy, dz, t_cur):
-    """Per-lane slab test of chunk tt's AABB against current t."""
+def _recheck(cb_ref, tt, ox, oy, oz, dx, dy, dz, ts_cur, det_cur):
+    """Per-lane slab test of chunk tt's AABB against the current SCALED
+    best (ts, det) with t = ts/det, det > 0: the t-bound compare is
+    cross-multiplied so the running carry never needs a divide."""
     ix, iy, iz = 1.0 / dx, 1.0 / dy, 1.0 / dz
     t0x = (cb_ref[tt, 0] - ox) * ix
     t1x = (cb_ref[tt, 3] - ox) * ix
@@ -125,11 +127,14 @@ def _recheck(cb_ref, tt, ox, oy, oz, dx, dy, dz, t_cur):
         jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
         jnp.maximum(t0z, t1z),
     )
-    return jnp.maximum(tmin, 0.0) <= jnp.minimum(tmax_box, t_cur)
+    tmin = jnp.maximum(tmin, 0.0)
+    return (tmin <= tmax_box) & (tmin * det_cur <= ts_cur)
 
 
 def _rows_closest_kernel(qr_ref, pc_ref, cb_ref, t0_ref, t1_ref, t2_ref,
                          t3_ref, rp_ref, out_ref, *, leaf_size):
+    # Out sublanes: 0 = scaled ts, 1 = prim, 2 = det (> 0); the caller
+    # divides ts/det once per ray (see trace_stream.closest_walk).
     from .trace_stream import closest_walk
 
     p = pl.program_id(0)
@@ -147,29 +152,32 @@ def _rows_closest_kernel(qr_ref, pc_ref, cb_ref, t0_ref, t1_ref, t2_ref,
     def _():
         out_ref[0:1, :] = tm
         out_ref[1:2, :] = jnp.full(tm.shape, -1.0, jnp.float32)
-        out_ref[2:8, :] = jnp.zeros((6, LANES), jnp.float32)
+        out_ref[2:3, :] = jnp.ones(tm.shape, jnp.float32)
+        out_ref[3:8, :] = jnp.zeros((5, LANES), jnp.float32)
 
     tris = (t0_ref, t1_ref, t2_ref, t3_ref)
     for i in range(QUAD):
         tt = pc_ref[QUAD * p + i]
-        t_cur = out_ref[0:1, :]
+        ts_cur = out_ref[0:1, :]
+        det_cur = out_ref[2:3, :]
         alive = (
             (tt >= 0)
             & jnp.any(
                 (tm > 0.0)
                 & _recheck(cb_ref, jnp.maximum(tt, 0), ox, oy, oz, dx, dy,
-                           dz, t_cur)
+                           dz, ts_cur, det_cur)
             )
         )
 
         @pl.when(alive)
-        def _(i=i, t_cur=t_cur):
-            t_best, prim_b = closest_walk(
-                tris[i], ox, oy, oz, dx, dy, dz, t_cur, out_ref[1:2, :],
-                leaf_size=leaf_size,
+        def _(i=i, ts_cur=ts_cur, det_cur=det_cur):
+            ts_b, det_b, prim_b = closest_walk(
+                tris[i], ox, oy, oz, dx, dy, dz, ts_cur, det_cur,
+                out_ref[1:2, :], leaf_size=leaf_size,
             )
-            out_ref[0:1, :] = t_best
+            out_ref[0:1, :] = ts_b
             out_ref[1:2, :] = prim_b
+            out_ref[2:3, :] = det_b
 
 
 def _rows_any_kernel(qr_ref, pc_ref, cb_ref, t0_ref, t1_ref, t2_ref,
@@ -197,7 +205,8 @@ def _rows_any_kernel(qr_ref, pc_ref, cb_ref, t0_ref, t1_ref, t2_ref,
         tt = pc_ref[QUAD * p + i]
         occ = occ_ref[0:1, :]
         crossing = (tm > 0.0) & _recheck(
-            cb_ref, jnp.maximum(tt, 0), ox, oy, oz, dx, dy, dz, tm
+            cb_ref, jnp.maximum(tt, 0), ox, oy, oz, dx, dy, dz, tm,
+            jnp.ones(tm.shape, jnp.float32),
         )
         go = (tt >= 0) & jnp.any(crossing & (occ == 0))
 
@@ -273,7 +282,8 @@ def rows_closest_w(ch, row_words, o, d, t_max, C: int = C_ROW,
         _rows_closest_kernel, ch, quad_row, pair_chunk, packed, rows, cap,
         jnp.float32, interpret,
     )
-    t = out[:, 0, :].reshape(-1)
+    # ONE divide per ray resolves the kernel's scaled (ts, det) carry.
+    t = (out[:, 0, :] / out[:, 2, :]).reshape(-1)
     prim = out[:, 1, :].reshape(-1)
     hit = prim >= 0.0
     t = jnp.where(hit, t, t_max)

@@ -52,12 +52,23 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .trace import _watertight, F32_MAX, LANES
+from .trace import (
+    _ray_shear,
+    _scaled_min8,
+    _watertight,
+    _watertight_scaled,
+    F32_MAX,
+    LANES,
+)
 
 BIG = 3.0e38
 C_MAIN = 16  # candidate-list width (colonnade bounce p95 = 9)
 C_WIDE = 80  # overflow pass width (colonnade max measured = 70)
 OV_CAP = 16384  # static mini-wave size for overflow rays
+OV_SMALL = 2048  # tight overflow tier: the wide pass costs ~50 ms at
+# OV_CAP (measured round 3) and runs whenever ANY ray of a wave
+# overflows C_MAIN, while typical waves overflow well under 1% — the
+# caller lax.conds to this 8x cheaper instantiation when it fits
 
 
 def _slab_axis(lo, hi, o, inv, tn, tf):
@@ -293,11 +304,13 @@ def _var_roll(cat, sh):
     return cat
 
 
-def build_slots(n: int, n_chunks: int, lists, C: int, max_rows: int):
-    """Sorted chunk-major 128-aligned slot layout.
-
-    Returns (slot_pos [max_rows, 128] i32 (sentinel n*C when empty),
-    row_chunk [max_rows] i32, valid [max_rows, 128] bool, ok)."""
+def slot_layout(n: int, n_chunks: int, lists, C: int):
+    """Cap-independent half of the slot build: ONE lax.sort groups
+    candidates chunk-major and the aligned per-chunk offsets (and the
+    wave's true slot demand) fall out of a cumsum.  Split from slot_fill
+    so the caller can pick the slot-row budget TIER by the actual demand
+    before paying the budget-proportional pack/kernel/merge costs.
+    Returns (pos_s, seg, aligned_off, total_slots)."""
     total_cap = n * C
     keys = jnp.where(lists >= 0, lists, n_chunks).reshape(-1)
     pos = jnp.arange(total_cap, dtype=jnp.int32)
@@ -311,9 +324,16 @@ def build_slots(n: int, n_chunks: int, lists, C: int, max_rows: int):
     aligned_off = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(aligned)]
     )
-    total_slots = aligned_off[-1]
-    ok = total_slots <= max_rows * LANES
+    return pos_s, seg, aligned_off, aligned_off[-1]
 
+
+def slot_fill(n: int, n_chunks: int, pos_s, seg, aligned_off, C: int,
+              max_rows: int):
+    """Budget-dependent half of the slot build (see slot_layout).
+    Returns (slot_pos [max_rows, 128] i32 (sentinel n*C when empty),
+    row_chunk [max_rows] i32, valid [max_rows, 128] bool)."""
+    total_cap = n * C
+    total_slots = aligned_off[-1]
     g_tab = aligned_off[:-1] - seg[:-1]  # [Ch], nonnegative, nondecreasing
     row_off = aligned_off // LANES
     rows_iota = jnp.arange(max_rows, dtype=jnp.int32)
@@ -341,6 +361,19 @@ def build_slots(n: int, n_chunks: int, lists, C: int, max_rows: int):
     cat = jnp.concatenate([pos2d[r0], pos2d[r1]], axis=1)
     slot_pos = _var_roll(cat, row_start % LANES)[:, :LANES]
     slot_pos = jnp.where(valid, slot_pos, total_cap)
+    return slot_pos, row_chunk, valid
+
+
+def build_slots(n: int, n_chunks: int, lists, C: int, max_rows: int):
+    """Sorted chunk-major 128-aligned slot layout (layout + fill).
+
+    Returns (slot_pos [max_rows, 128] i32 (sentinel n*C when empty),
+    row_chunk [max_rows] i32, valid [max_rows, 128] bool, ok)."""
+    pos_s, seg, aligned_off, total_slots = slot_layout(n, n_chunks, lists, C)
+    ok = total_slots <= max_rows * LANES
+    slot_pos, row_chunk, valid = slot_fill(
+        n, n_chunks, pos_s, seg, aligned_off, C, max_rows
+    )
     return slot_pos, row_chunk, valid, ok
 
 
@@ -362,35 +395,53 @@ def _pack_stream(o, d, t_max, slot_ray, valid, max_rows):
     return planes.reshape(max_rows * 8, LANES)
 
 
-def closest_walk(tri_ref, ox, oy, oz, dx, dy, dz, t0, prim0, *, leaf_size):
-    """Walk one chunk's triangle block for a (1,128) ray group carrying
-    (t, prim).  8 triangles per VPU op."""
+def closest_walk(tri_ref, ox, oy, oz, dx, dy, dz, ts0, det0, prim0,
+                 *, leaf_size):
+    """Walk one chunk's triangle block for a (1,128) ray group carrying a
+    SCALED closest hit (ts, det, prim) with t = ts/det, det > 0.
+    8 triangles per VPU op.
+
+    Round-3 compute cuts (the slot kernel was measured compute-bound at
+    ~60 VPU ops/pair): the per-ray shear setup + 1/dz divide hoist out of
+    the triangle loop (_ray_shear), the per-step 1/det divide and
+    cross-sublane winner reduction are gone — each SUBLANE carries its own
+    scaled best, compared by cross-multiplication, and one tournament
+    (_scaled_min8) resolves the block at the end.  The caller performs
+    the single ts/det divide per ray outside the loop."""
+    pre = _ray_shear(dx, dy, dz)
+    shape8 = (8, LANES)
+    carry0 = (
+        jnp.broadcast_to(ts0, shape8),
+        jnp.broadcast_to(det0, shape8),
+        jnp.broadcast_to(prim0, shape8),
+    )
 
     def step(g, carry):
-        t_best, prim_b = carry
+        ts_b, det_b, prim_b = carry
         blk = tri_ref[pl.ds(g * 8, 8), :]  # (8, 128): 8 triangles
         cols = [blk[:, c : c + 1] for c in range(9)]
-        hit, t, _, _ = _watertight(ox, oy, oz, dx, dy, dz, t_best, cols)
+        ok, ts_c, det_c = _watertight_scaled(pre, ox, oy, oz, cols)
         pid = blk[:, 10:11]
-        closer = hit & (t < t_best) & (pid >= 0.0)
-        t_m = jnp.where(closer, t, F32_MAX)
-        t_min = jnp.min(t_m, axis=0, keepdims=True)
-        improved = t_min < t_best
-        pid_b = jnp.broadcast_to(pid, t_m.shape)
-        win = closer & (t_m == t_min)
-        pid_w = jnp.min(jnp.where(win, pid_b, BIG), axis=0, keepdims=True)
+        closer = ok & (pid >= 0.0) & (ts_c * det_b < ts_b * det_c)
+        pid_b = jnp.broadcast_to(pid, shape8)
         return (
-            jnp.where(improved, t_min, t_best),
-            jnp.where(improved, pid_w, prim_b),
+            jnp.where(closer, ts_c, ts_b),
+            jnp.where(closer, det_c, det_b),
+            jnp.where(closer, pid_b, prim_b),
         )
 
-    return jax.lax.fori_loop(0, leaf_size // 8, step, (t0, prim0))
+    ts, det, prim = jax.lax.fori_loop(0, leaf_size // 8, step, carry0)
+    return _scaled_min8(ts, det, prim)
 
 
 def any_walk(tri_ref, ox, oy, oz, dx, dy, dz, tm, skip, occ0, crossing,
              *, leaf_size):
     """Early-exit occlusion walk of one chunk's triangles: done the moment
-    every crossing lane is occluded (bvh.rs:235-302's first-hit return)."""
+    every crossing lane is occluded (bvh.rs:235-302's first-hit return).
+    Divide-free: occlusion needs only the hit predicate, so the scaled
+    test plus one cross-multiplied upper bound replaces _watertight's
+    per-step 1/det (and its two wasted barycentric multiplies)."""
+    pre = _ray_shear(dx, dy, dz)
     crossing_i = crossing.astype(jnp.int32)
 
     def cond(s):
@@ -401,7 +452,8 @@ def any_walk(tri_ref, ox, oy, oz, dx, dy, dz, tm, skip, occ0, crossing,
         g, _, occ = s
         blk = tri_ref[pl.ds(g * 8, 8), :]
         cols = [blk[:, c : c + 1] for c in range(9)]
-        hit, _, _, _ = _watertight(ox, oy, oz, dx, dy, dz, tm, cols)
+        ok, ts, det = _watertight_scaled(pre, ox, oy, oz, cols)
+        hit = ok & (ts <= tm * det)
         light = blk[:, 9:10]
         pid = blk[:, 10:11]
         blocked = hit & (light != skip) & (pid >= 0.0)
@@ -420,6 +472,9 @@ QUAD = 4  # slot rows per grid step: quadruple per-step compute so the
 
 def _closest_kernel(rc_ref, t0_ref, t1_ref, t2_ref, t3_ref, rp_ref,
                     out_ref, *, leaf_size):
+    # Out sublanes per slot row: 0 = scaled ts, 1 = prim, 2 = det (> 0);
+    # the caller divides ts/det ONCE per slot in XLA (closest_walk
+    # docstring) instead of the kernel dividing every step.
     tris = (t0_ref, t1_ref, t2_ref, t3_ref)
     for i in range(QUAD):
         b = 8 * i
@@ -433,18 +488,21 @@ def _closest_kernel(rc_ref, t0_ref, t1_ref, t2_ref, t3_ref, rp_ref,
 
         out_ref[b : b + 1, :] = tm
         out_ref[b + 1 : b + 2, :] = jnp.full(tm.shape, -1.0, jnp.float32)
-        out_ref[b + 2 : b + 8, :] = jnp.zeros((6, LANES), jnp.float32)
+        out_ref[b + 2 : b + 3, :] = jnp.ones(tm.shape, jnp.float32)
+        out_ref[b + 3 : b + 8, :] = jnp.zeros((5, LANES), jnp.float32)
 
         @pl.when(jnp.any(tm > 0.0))
         def _(i=i, ox=ox, oy=oy, oz=oz, dx=dx, dy=dy, dz=dz, tm=tm, b=b):
-            t_best, prim_b = closest_walk(
+            ts_b, det_b, prim_b = closest_walk(
                 tris[i], ox, oy, oz, dx, dy, dz,
                 jnp.maximum(tm, 0.0),
+                jnp.ones(tm.shape, jnp.float32),
                 jnp.full(tm.shape, -1.0, jnp.float32),
                 leaf_size=leaf_size,
             )
-            out_ref[b : b + 1, :] = t_best
+            out_ref[b : b + 1, :] = ts_b
             out_ref[b + 1 : b + 2, :] = prim_b
+            out_ref[b + 2 : b + 3, :] = det_b
 
 
 def _any_kernel(rc_ref, t0_ref, t1_ref, t2_ref, t3_ref, rp_ref, occ_ref,
@@ -528,7 +586,8 @@ def _recompute_bary(shading_packed, o, d, t, prim):
 
 
 def stream_closest_w(ch, words, o, d, t_max, C: int = C_MAIN,
-                     mult: int = 6, interpret: bool = False):
+                     mult: int = 6, mult_wide: int | None = None,
+                     interpret: bool = False):
     """Closest hit over the exact incidence stream, from precomputed
     crossing words.
 
@@ -536,47 +595,74 @@ def stream_closest_w(ch, words, o, d, t_max, C: int = C_MAIN,
     list exceeded C (their results may MISS hits — the caller re-runs them
     wider); `ok` False means the slot budget overflowed and the whole wave
     must fall back.  Barycentrics are NOT computed here — the caller
-    recomputes them once for final winners (_recompute_bary)."""
+    recomputes them once for final winners (_recompute_bary).
+
+    TIERED BUDGET (round 3): pack/kernel/merge all cost proportional to
+    the STATIC slot-row budget, and the build-time estimate must cover
+    p95 waves, so typical waves overpaid ~2x (measured: true bounce
+    incidence 3.45 slots/ray vs a 9.7 budget).  slot_layout exposes the
+    wave's true demand before any budget-proportional work; a lax.cond
+    then runs the tight tier (`mult`) and only spills to `mult_wide`
+    when the wave actually needs it."""
     n = o.shape[0]
     n_c = ch.n_treelets
-    max_rows = _max_rows(n, C, n_c, mult)
 
     lists, overflow = extract_lists(words, C)
-    slot_pos, row_chunk, valid, ok = build_slots(n, n_c, lists, C, max_rows)
-    slot_ray = jnp.where(valid, slot_pos // C, 0)
-    packed = _pack_stream(o, d, t_max, slot_ray, valid, max_rows)
-    out = _run_kernel(
-        _closest_kernel, ch, row_chunk, packed, max_rows, jnp.float32,
-        interpret,
-    )
+    pos_s, seg, aligned_off, total_slots = slot_layout(n, n_c, lists, C)
 
-    slot_t = out[:, 0, :]
-    slot_prim = out[:, 1, :]
-    hitv = valid & (slot_prim >= 0.0)
-    pos_flat = jnp.where(hitv, slot_pos, n * C).reshape(-1)
-    # Positions are unique (one slot per candidate) — plain set scatters.
-    # Sentinel position n*C is out of bounds -> genuinely dropped, so the
-    # unique-indices promise holds for the surviving writes.
-    tmat = (
-        jnp.full(n * C, F32_MAX)
-        .at[pos_flat]
-        .set(jnp.where(hitv, slot_t, F32_MAX).reshape(-1), mode="drop",
-             unique_indices=True)
-        .reshape(n, C)
-    )
-    pmat = (
-        jnp.full(n * C, BIG)
-        .at[pos_flat]
-        .set(jnp.where(hitv, slot_prim, BIG).reshape(-1), mode="drop",
-             unique_indices=True)
-        .reshape(n, C)
-    )
-    t_win = tmat.min(axis=1)
-    # Lowest prim id among exact-t ties (deterministic, order-free).
-    prim_w = jnp.where(tmat == t_win[:, None], pmat, BIG).min(axis=1)
-    hit = t_win < F32_MAX
-    t_out = jnp.where(hit, t_win, t_max)
-    prim = jnp.where(hit, prim_w, -1.0).astype(jnp.int32)
+    def tier(max_rows):
+        def run(_):
+            slot_pos, row_chunk, valid = slot_fill(
+                n, n_c, pos_s, seg, aligned_off, C, max_rows
+            )
+            slot_ray = jnp.where(valid, slot_pos // C, 0)
+            packed = _pack_stream(o, d, t_max, slot_ray, valid, max_rows)
+            out = _run_kernel(
+                _closest_kernel, ch, row_chunk, packed, max_rows,
+                jnp.float32, interpret,
+            )
+
+            # ONE divide per slot resolves the scaled (ts, det) carry.
+            slot_t = out[:, 0, :] / out[:, 2, :]
+            slot_prim = out[:, 1, :]
+            hitv = valid & (slot_prim >= 0.0)
+            pos_flat = jnp.where(hitv, slot_pos, n * C).reshape(-1)
+            # Positions are unique (one slot per candidate) — plain set
+            # scatters.  Sentinel position n*C is out of bounds ->
+            # genuinely dropped, so the unique-indices promise holds for
+            # the surviving writes.
+            tmat = (
+                jnp.full(n * C, F32_MAX)
+                .at[pos_flat]
+                .set(jnp.where(hitv, slot_t, F32_MAX).reshape(-1),
+                     mode="drop", unique_indices=True)
+                .reshape(n, C)
+            )
+            pmat = (
+                jnp.full(n * C, BIG)
+                .at[pos_flat]
+                .set(jnp.where(hitv, slot_prim, BIG).reshape(-1),
+                     mode="drop", unique_indices=True)
+                .reshape(n, C)
+            )
+            t_win = tmat.min(axis=1)
+            # Lowest prim id among exact-t ties (deterministic).
+            prim_w = jnp.where(tmat == t_win[:, None], pmat, BIG).min(axis=1)
+            hit = t_win < F32_MAX
+            t_out = jnp.where(hit, t_win, t_max)
+            prim = jnp.where(hit, prim_w, -1.0).astype(jnp.int32)
+            return t_out, prim
+        return run
+
+    rows_a = _max_rows(n, C, n_c, mult)
+    ok_a = total_slots <= rows_a * LANES
+    if mult_wide is not None and mult_wide > mult:
+        rows_b = _max_rows(n, C, n_c, mult_wide)
+        ok = total_slots <= rows_b * LANES
+        t_out, prim = jax.lax.cond(ok_a, tier(rows_a), tier(rows_b), None)
+    else:
+        ok = ok_a
+        t_out, prim = tier(rows_a)(None)
     return t_out, prim, overflow, ok
 
 
@@ -595,17 +681,17 @@ def stream_closest(ch, shading_packed, o, d, t_max, C: int = C_MAIN,
 
 
 def stream_any_w(ch, words, o, d, t_max, skip_light, C: int = C_MAIN,
-                 mult: int = 5, interpret: bool = False):
+                 mult: int = 5, mult_wide: int | None = None,
+                 interpret: bool = False):
     """Occlusion over the exact incidence stream, from precomputed
     crossing words.  Returns (occluded, overflow, ok); overflow rays may
-    report unoccluded falsely and must be re-checked by the caller."""
+    report unoccluded falsely and must be re-checked by the caller.
+    Tiered slot-row budget like stream_closest_w."""
     n = o.shape[0]
     n_c = ch.n_treelets
-    max_rows = _max_rows(n, C, n_c, mult)
 
     lists, overflow = extract_lists(words, C)
-    slot_pos, row_chunk, valid, ok = build_slots(n, n_c, lists, C, max_rows)
-    slot_ray = jnp.where(valid, slot_pos // C, 0)
+    pos_s, seg, aligned_off, total_slots = slot_layout(n, n_c, lists, C)
 
     # skip plane rides the 8th sublane of the ray table.
     ray_tab = jnp.concatenate(
@@ -613,25 +699,45 @@ def stream_any_w(ch, words, o, d, t_max, skip_light, C: int = C_MAIN,
          jnp.zeros((n, LANES - 8), o.dtype)],
         axis=1,
     )
-    flat_ray = jnp.where(valid, slot_ray, 0).reshape(-1)
-    stream = ray_tab[flat_ray][:, :8]
-    planes = stream.reshape(max_rows, LANES, 8).transpose(0, 2, 1)
-    planes = planes.at[:, 6, :].set(
-        jnp.where(valid, planes[:, 6, :], -1.0)
-    )
-    packed = planes.reshape(max_rows * 8, LANES)
 
-    occ = _run_kernel(
-        _any_kernel, ch, row_chunk, packed, max_rows, jnp.int32, interpret
-    )
-    occ_slot = (occ[:, 0, :] > 0) & valid
-    bucket = jnp.where(occ_slot, slot_ray, n).reshape(-1)
-    occ_ray = (
-        jnp.zeros(n + 1, jnp.int32)
-        .at[bucket]
-        .max(occ_slot.astype(jnp.int32).reshape(-1), mode="drop")
-    )
-    return occ_ray[:n] > 0, overflow, ok
+    def tier(max_rows):
+        def run(_):
+            slot_pos, row_chunk, valid = slot_fill(
+                n, n_c, pos_s, seg, aligned_off, C, max_rows
+            )
+            slot_ray = jnp.where(valid, slot_pos // C, 0)
+            flat_ray = jnp.where(valid, slot_ray, 0).reshape(-1)
+            stream = ray_tab[flat_ray][:, :8]
+            planes = stream.reshape(max_rows, LANES, 8).transpose(0, 2, 1)
+            planes = planes.at[:, 6, :].set(
+                jnp.where(valid, planes[:, 6, :], -1.0)
+            )
+            packed = planes.reshape(max_rows * 8, LANES)
+
+            occ = _run_kernel(
+                _any_kernel, ch, row_chunk, packed, max_rows, jnp.int32,
+                interpret,
+            )
+            occ_slot = (occ[:, 0, :] > 0) & valid
+            bucket = jnp.where(occ_slot, slot_ray, n).reshape(-1)
+            occ_ray = (
+                jnp.zeros(n + 1, jnp.int32)
+                .at[bucket]
+                .max(occ_slot.astype(jnp.int32).reshape(-1), mode="drop")
+            )
+            return occ_ray[:n] > 0
+        return run
+
+    rows_a = _max_rows(n, C, n_c, mult)
+    ok_a = total_slots <= rows_a * LANES
+    if mult_wide is not None and mult_wide > mult:
+        rows_b = _max_rows(n, C, n_c, mult_wide)
+        ok = total_slots <= rows_b * LANES
+        occ_out = jax.lax.cond(ok_a, tier(rows_a), tier(rows_b), None)
+    else:
+        ok = ok_a
+        occ_out = tier(rows_a)(None)
+    return occ_out, overflow, ok
 
 
 @functools.partial(

@@ -202,11 +202,14 @@ class SceneMeta:
     # Any matte binds a Texture<f32> sigma (textures/mod.rs:12-16); the
     # extra per-lane sigma gather is dropped at trace time otherwise.
     has_sigma_tex: bool = False
-    # Static slot-stream pair budget per ray (ops/trace_stream mult):
+    # Static slot-stream pair budgets per ray (ops/trace_stream mult):
     # estimated at build time from sampled diffuse-bounce chunk incidence
     # so open scenes (atrium: mean 6.4) don't overflow the budget into
     # the slow fallback walk while tight ones don't overpay for capacity.
+    # The stream runs the tight tier and lax.conds up to the wide one
+    # only for waves that actually demand it (_estimate_slot_mult).
     slot_mult: int = 6
+    slot_mult_tight: int = 4
 
 
 @dataclass
@@ -224,13 +227,18 @@ class Scene:
 
 
 def _estimate_slot_mult(chunks, tri_p, n_sample: int = 8192,
-                        seed: int = 17) -> int:
-    """Sampled diffuse-bounce chunk incidence -> static slot budget.
+                        seed: int = 17) -> tuple[int, int]:
+    """Sampled diffuse-bounce chunk incidence -> static slot budgets.
 
     Host-side numpy: random surface points with cosine-ish hemisphere
     directions slab-tested against every chunk AABB (the same exact cull
-    trace_stream uses).  The budget is mean * 1.3 + 2 so p95-ish waves
-    still fit; clamped to [6, 16]."""
+    trace_stream uses).  Returns (tight, wide): the wide budget is
+    mean * 1.3 + 2 so p95-ish waves still fit (clamped [6, 16]); the
+    tight budget is mean * 0.66 + 1 (clamped [4, wide]) — real bounce
+    waves measure well under the sampled mean (3.45 vs 5.4 on the
+    colonnade; surviving paths concentrate on visible surfaces), and the
+    slot stream lax.conds between the tiers per wave, so a tight miss
+    costs one spill, not a fallback."""
     cb = np.asarray(chunks.treelet_bounds)
     rng = np.random.default_rng(seed)
     nt = tri_p.shape[0]
@@ -253,7 +261,9 @@ def _estimate_slot_mult(chunks, tri_p, n_sample: int = 8192,
     tn = np.nan_to_num(np.minimum(t0, t1), nan=-np.inf).max(axis=2)
     tf = np.nan_to_num(np.maximum(t0, t1), nan=np.inf).min(axis=2)
     mean_inc = float((np.maximum(tn, 0.0) <= tf).sum(axis=1).mean())
-    return int(np.clip(np.ceil(mean_inc * 1.3) + 2, 6, 16))
+    wide = int(np.clip(np.ceil(mean_inc * 1.3) + 2, 6, 16))
+    tight = int(np.clip(np.ceil(mean_inc * 0.66) + 1, 4, wide))
+    return tight, wide
 
 
 class SceneBuilder:
@@ -608,7 +618,8 @@ class SceneBuilder:
                 leaf_size=128,
                 super_size=128,
             )
-            slot_mult = _estimate_slot_mult(chunk_arrays, tri_p)
+            slot_mult_tight, slot_mult = _estimate_slot_mult(
+                chunk_arrays, tri_p)
         world_lo = bvh_host.node_lo[0].copy()
         world_hi = bvh_host.node_hi[0].copy()
         for s in self._spheres:
@@ -652,6 +663,8 @@ class SceneBuilder:
             has_textures=any(int(m["tex0"]) >= 0 for m in mats),
             has_sigma_tex=any(int(m.get("tex1", -1)) >= 0 for m in mats),
             slot_mult=slot_mult if nt > DENSE_TRI_THRESHOLD else 6,
+            slot_mult_tight=(slot_mult_tight
+                             if nt > DENSE_TRI_THRESHOLD else 4),
             bvh_max_leaf=bvh_host.max_leaf,
             traversal="dense" if nt <= DENSE_TRI_THRESHOLD else "treelet",
         )
