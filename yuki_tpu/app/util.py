@@ -27,7 +27,10 @@ def try_load_scene(
     t0 = time.monotonic()
     path = load_settings.path
     if not path or path == "cornell":
-        scene, cam, fs = cornell()
+        scene, cam, fs = cornell(
+            split_method=load_settings.split_method_key(),
+            max_shapes_in_node=load_settings.max_shapes_in_node,
+        )
         return scene, cam, fs, time.monotonic() - t0
     if path == "colonnade":  # built-in Sponza-class benchmark scene
         from ..scene.testscenes import colonnade

@@ -74,6 +74,15 @@ _PAGE = """<!DOCTYPE html>
  <label>Target <input id="cam_target" value="%CAM_TARGET%"></label>
  <label>FoV <input id="cam_fov" type="number" value="%CAM_FOV%"></label>
  <div style="font-size:11px;margin-top:6px">drag: orbit &middot; shift/middle-drag: pan &middot; wheel: dolly</div>
+ <h4>Scene</h4>
+ <label>BVH split
+  <select id="split_method">
+   <option>SurfaceAreaHeuristic</option><option>Middle</option>
+   <option>EqualCounts</option>
+  </select></label>
+ <label>Max shapes in node <input id="max_shapes" type="number" value="1" min="1" max="64"></label>
+ <button onclick="reloadScene()">Reload scene</button>
+ <div id="scene_stats" style="white-space:pre;font-size:11px;margin-top:8px;color:#acd"></div>
 </div>
 <div style="position:relative">
  <img id="img" src="/image.png">
@@ -128,6 +137,25 @@ setInterval(async () => {
   document.getElementById('status').textContent = s.text;
   if (s.dirty) document.getElementById('img').src = '/image.png?' + Date.now();
 }, 500);
+
+// Scene panel (reference ui.rs:298-575: BVH split method, max shapes in
+// node, live scene stats).
+async function loadStats() {
+  const s = await (await fetch('/scene_stats')).json();
+  document.getElementById('scene_stats').textContent = s.text;
+  document.getElementById('split_method').value = s.split_method;
+  document.getElementById('max_shapes').value = s.max_shapes;
+}
+async function reloadScene() {
+  document.getElementById('scene_stats').textContent = 'reloading...';
+  await fetch('/reload_scene', {method:'POST', body: JSON.stringify({
+    split_method: document.getElementById('split_method').value,
+    max_shapes: +document.getElementById('max_shapes').value,
+  })});
+  await loadStats();
+  render();
+}
+loadStats();
 
 // Camera mouse gestures (reference window.rs drag handling): left drag =
 // trackball orbit around the target, middle or shift+left drag = pan in
@@ -210,7 +238,7 @@ imgEl.addEventListener('dragstart', e => e.preventDefault());
 class ViewerState:
     def __init__(self, settings: InitialSettings):
         self.settings = settings
-        self.scene, self.cam_params, scene_fs, _ = try_load_scene(
+        self.scene, self.cam_params, scene_fs, self.load_secs = try_load_scene(
             settings.load_settings
         )
         self.film: Film | None = None
@@ -360,6 +388,47 @@ class ViewerState:
         segs = project_segments(self.last_camera, rx, ry, rays)
         return {"segments": segs, "res": [rx, ry]}
 
+    def reload_scene(self, cfg: dict) -> None:
+        """Rebuild the scene with new BVH options (ui.rs:298-370: the
+        imgui split-method combo + max-shapes drag trigger a reload)."""
+        ls = self.settings.load_settings
+        if cfg.get("split_method") in (
+            "SurfaceAreaHeuristic", "Middle", "EqualCounts"
+        ):
+            ls.split_method = cfg["split_method"]
+        if cfg.get("max_shapes"):
+            ls.max_shapes_in_node = max(1, min(64, int(cfg["max_shapes"])))
+        with self.lock:
+            self.renderer.kill()
+            self.scene, self.cam_params, _, self.load_secs = try_load_scene(
+                ls
+            )
+            self.film = None
+            self.last_camera = None
+
+    def scene_stats(self) -> dict:
+        """Live scene stats block (ui.rs:468-575: shape/light counts, BVH
+        shape, load time)."""
+        m = self.scene.meta
+        bh = self.scene.bvh_host
+        n_nodes = int(bh.node_lo.shape[0]) if bh is not None else 0
+        text = (
+            f"scene: {m.name}\n"
+            f"triangles: {m.n_tris}\n"
+            f"spheres: {m.n_spheres}\n"
+            f"lights: {m.n_lights}\n"
+            f"materials: {m.n_materials}\n"
+            f"bvh nodes: {n_nodes} (max leaf {m.bvh_max_leaf})\n"
+            f"traversal: {m.traversal}\n"
+            f"loaded in {self.load_secs:.2f}s"
+        )
+        ls = self.settings.load_settings
+        return {
+            "text": text,
+            "split_method": ls.split_method,
+            "max_shapes": ls.max_shapes_in_node,
+        }
+
     def save_exr(self, tonemapped: bool) -> str:
         """EXR export (window.rs:943-982): raw sample-normalized radiance or
         the tonemapped display image."""
@@ -419,6 +488,11 @@ def serve(settings: InitialSettings, port: int = 8000):
                 self._send(200, "image/png", state.image_png())
             elif self.path.startswith("/status"):
                 self._send(200, "application/json", json.dumps(state.poll()).encode())
+            elif self.path.startswith("/scene_stats"):
+                self._send(
+                    200, "application/json",
+                    json.dumps(state.scene_stats()).encode(),
+                )
             elif self.path.startswith("/bvh"):
                 from urllib.parse import parse_qs, urlparse
 
@@ -452,6 +526,9 @@ def serve(settings: InitialSettings, port: int = 8000):
                     float(cfg.get("fx", 0.5)), float(cfg.get("fy", 0.5))
                 )
                 self._send(200, "application/json", json.dumps(out).encode())
+            elif self.path == "/reload_scene":
+                state.reload_scene(json.loads(body or b"{}"))
+                self._send(200, "application/json", b"{}")
             elif self.path == "/kill":
                 state.renderer.kill()
                 self._send(200, "application/json", b"{}")

@@ -84,7 +84,9 @@ def _tiling_texture(size: int = 256) -> np.ndarray:
     return img
 
 
-def cornell() -> tuple[Scene, CameraParameters, FilmSettings]:
+def cornell(
+    split_method: str = "middle", max_shapes_in_node: int = 1,
+) -> tuple[Scene, CameraParameters, FilmSettings]:
     b = SceneBuilder("Cornell Box")
 
     handedness_swap = tf.Transform.from_matrix(
@@ -187,7 +189,8 @@ def cornell() -> tuple[Scene, CameraParameters, FilmSettings]:
     # Copper sphere.
     b.add_sphere(tf.translation((0.186, 0.082, -0.168)), 0.082, copper)
 
-    scene = b.build(split_method="middle", max_shapes_in_node=1)
+    scene = b.build(split_method=split_method,
+                    max_shapes_in_node=max_shapes_in_node)
 
     cam = CameraParameters(
         position=(0.278, 0.273, 0.800),
