@@ -121,3 +121,45 @@ class TestRows:
         assert np.array_equal(np.asarray(p)[keep], np.asarray(pref)[keep])
         dead = ~np.asarray(alive)
         assert (np.asarray(p)[dead] == -1).all()
+
+
+class TestRowWordsInterval:
+    def test_superset_of_exact_union(self, soup):
+        """The conservative interval row cull must cover every bit of the
+        exact per-ray union (supersets are safe: rows kernels re-test each
+        chunk per lane), and stay EXACT-tight for coherent bundles."""
+        from yuki_tpu.ops.trace_rows import row_words_interval, row_words_of
+        from yuki_tpu.ops.trace_stream import _cross_words_xla
+
+        sc, ch = soup
+        o, d = rays(512, 31)
+        # A mix: some dead lanes, one axis-aligned sub-bundle.
+        t_max = jnp.where(jnp.arange(512) % 5 == 0, 0.0, F32_MAX)
+        d = d.at[0:128].set(jnp.asarray([0.0, 0.0, 1.0]))
+        exact = row_words_of(_cross_words_xla(ch, o, d, t_max), 4)
+        cons = row_words_interval(ch, o, d, t_max)
+        assert not bool(jnp.any(exact & ~cons))
+
+    def test_all_dead_row_is_empty(self, soup):
+        from yuki_tpu.ops.trace_rows import row_words_interval
+
+        sc, ch = soup
+        o, d = rays(128, 32)
+        cons = row_words_interval(ch, o, d, jnp.zeros(128))
+        assert not bool(jnp.any(cons))
+
+    def test_no_pad_chunk_bits(self, soup):
+        """Fully-unconstrained rows (mixed direction signs on all axes)
+        must never mark the +inf PAD chunks crossed — their ids are out of
+        range for the kernels."""
+        from yuki_tpu.ops.trace_rows import row_words_interval
+
+        sc, ch = soup
+        o, d = rays(128, 33)  # random soup directions span all octants
+        cons = np.asarray(row_words_interval(ch, o, d, jnp.full(128, F32_MAX)))
+        n_c = ch.n_treelets
+        w = cons.shape[1]
+        tail_bits = 32 * w - n_c
+        if tail_bits:
+            last = cons[:, -1]
+            assert not np.any(last >> (32 - tail_bits))

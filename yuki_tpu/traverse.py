@@ -241,16 +241,21 @@ def _pair_capacity(n_rays: int) -> int:
 
 _Z_DIR = jnp.asarray([0.0, 0.0, 1.0])
 
-# Adaptive traversal dispatch: a wave whose average row-union pair count
-# is at or below this threshold walks rows (coherent path); above it the
-# per-ray slot stream wins (measured crossover on the colonnade: primary
-# 8.7/row vs bounce 57/row).
-_COHERENT_ROW_PAIRS = 16
-# Rows-branch pair budget: threshold + worst-case QUAD(4) alignment pad
-# per row + the forced >=1 pair for empty rows (advisor round-2: mult=18
-# was tight against the dispatch threshold — near-threshold waves
-# overflowed into the treelet fallback).
-_ROWS_MULT = _COHERENT_ROW_PAIRS + 4 + 1
+# Adaptive traversal dispatch: a wave whose average per-row CONSERVATIVE
+# (interval-cull) candidate count is at or below this threshold walks
+# rows (coherent path); above it the per-ray slot stream wins.  The
+# dispatch probe is the O(rows x chunks) interval cull — 128x cheaper
+# than the exact per-ray cull, which only the slot branch needs (and now
+# computes inside the branch).  Measured interval counts/row on the
+# colonnade (benchmarks/interval_rows.py): primary 7.1 (exact 6.9),
+# shadow 14.8 (exact 6.5), bounce 272 (exact 76) — 32 separates cleanly
+# with headroom for batched-NEE shadow waves.
+_COHERENT_ROW_PAIRS = 32
+# Rows-branch budgets under interval words: extraction width C covers the
+# shadow p99 of 86 (<96); the pair budget covers the shadow MEAN of 14.8
+# + QUAD alignment + forced pairs for empty rows.
+_ROWS_C = 96
+_ROWS_MULT = 24
 
 
 def _compact_indices(mask, cap: int):
@@ -293,7 +298,16 @@ def _pad128(scene, o, d, t_max, *extras):
 
 
 def _sorted_call(scene, o, d, t_max, extra, fn):
-    """Sort rays by coherence key, call fn on the sorted SoA, unsort."""
+    """Sort rays by coherence key, call fn on the sorted SoA, unsort.
+
+    Load-bearing for every treelet-path query (round-3 finding: the
+    integrators hand over UNSORTED bounce/shadow waves, but the whole
+    traversal stack is built around sorted 128-ray rows — the interval
+    row cull, the rows-branch dispatch, and the cross kernel's 8-chunk
+    block skip all collapse to worst case on unsorted rows; measured
+    shadow waves only take the cheap rows branch at all when sorted).
+    Cost: one u32 argsort + two gathers + one inverse gather, ~5 ms at
+    262k — repaid ~10x by the cull tightness it buys."""
     order = jnp.argsort(ray_sort_key(scene, o, d))
     o_s, d_s, t_s = o[order], d[order], t_max[order]
     extra_s = None if extra is None else extra[order]
@@ -324,81 +338,90 @@ def intersect(scene, meta, o, d, t_max, with_stats: bool = False):
         sp = scene.tris.shading_packed
         ch = scene.chunks
         interp = FORCE_PALLAS_INTERPRET
-        n0 = o.shape[0]
-        o, d, t_max = _pad128(scene, o, d, t_max)
-        n = o.shape[0]
-        rows = n // 128
-        words = ts.cross_words(ch, o, d, t_max, interpret=interp)
-        row_words = tr.row_words_of(words, rows)
-        row_pairs = jax.lax.population_count(row_words).sum().astype(
-            jnp.int32
-        )
-        coherent = row_pairs <= rows * _COHERENT_ROW_PAIRS
 
-        def rows_branch(_):
-            t_r, p_r, ov_r = tr.rows_closest_w(
-                ch, row_words, o, d, t_max, mult=_ROWS_MULT,
-                interpret=interp,
+        def run_sorted(o, d, t_max, _extra):
+            n0 = o.shape[0]
+            o, d, t_max = _pad128(scene, o, d, t_max)
+            n = o.shape[0]
+            rows = n // 128
+            row_words = tr.row_words_interval(ch, o, d, t_max)
+            row_pairs = jax.lax.population_count(row_words).sum().astype(
+                jnp.int32
             )
-            return t_r, p_r, ov_r, jnp.asarray(True)
+            coherent = row_pairs <= rows * _COHERENT_ROW_PAIRS
 
-        def slot_branch(_):
-            return ts.stream_closest_w(
-                ch, words, o, d, t_max, mult=meta.slot_mult_tight,
-                mult_wide=meta.slot_mult, interpret=interp,
+            def rows_branch(_):
+                t_r, p_r, ov_r = tr.rows_closest_w(
+                    ch, row_words, o, d, t_max, C=_ROWS_C,
+                    mult=_ROWS_MULT, interpret=interp,
+                )
+                return t_r, p_r, ov_r, jnp.asarray(True)
+
+            def slot_branch(_):
+                # Only the slot stream needs the exact per-ray cull;
+                # coherent waves skip its cost entirely (the interval
+                # probe above is rows-granular).
+                words = ts.cross_words(ch, o, d, t_max, interpret=interp)
+                return ts.stream_closest_w(
+                    ch, words, o, d, t_max, mult=meta.slot_mult_tight,
+                    mult_wide=meta.slot_mult, interpret=interp,
+                )
+
+            t_s, prim_s, ov, ok = jax.lax.cond(
+                coherent, rows_branch, slot_branch, None
             )
 
-        t_s, prim_s, ov, ok = jax.lax.cond(
-            coherent, rows_branch, slot_branch, None
-        )
+            idx, n_ov = _compact_indices(ov, ts.OV_CAP)
+            live = jnp.arange(ts.OV_CAP) < n_ov
+            o2 = jnp.where(live[:, None], o[idx], 0.0)
+            d2 = jnp.where(live[:, None], d[idx], _Z_DIR)
+            t2 = jnp.where(live, t_max[idx], 0.0)
 
-        idx, n_ov = _compact_indices(ov, ts.OV_CAP)
-        live = jnp.arange(ts.OV_CAP) < n_ov
-        o2 = jnp.where(live[:, None], o[idx], 0.0)
-        d2 = jnp.where(live[:, None], d[idx], _Z_DIR)
-        t2 = jnp.where(live, t_max[idx], 0.0)
+            def run_wide_cap(cap):
+                def run(_):
+                    t_w, p_w, _, _, ov2, ok2 = ts.stream_closest(
+                        ch, sp, o2[:cap], d2[:cap], t2[:cap],
+                        C=ts.C_WIDE, mult=ts.C_WIDE, interpret=interp,
+                    )
+                    idxc, livec = idx[:cap], live[:cap]
+                    return (
+                        t_s.at[idxc].set(
+                            jnp.where(livec, t_w, t_s[idxc]), mode="drop"),
+                        prim_s.at[idxc].set(
+                            jnp.where(livec, p_w, prim_s[idxc]),
+                            mode="drop"),
+                        ok2 & ~jnp.any(ov2 & livec),
+                    )
+                return run
 
-        def run_wide_cap(cap):
-            def run(_):
-                t_w, p_w, _, _, ov2, ok2 = ts.stream_closest(
-                    ch, sp, o2[:cap], d2[:cap], t2[:cap],
-                    C=ts.C_WIDE, mult=ts.C_WIDE, interpret=interp,
+            def run_wide(_):
+                # Tiered mini-wave: the wide pass costs ~50 ms at OV_CAP
+                # but typical waves overflow only a handful of rays.
+                return jax.lax.cond(
+                    n_ov <= ts.OV_SMALL,
+                    run_wide_cap(ts.OV_SMALL),
+                    run_wide_cap(ts.OV_CAP),
+                    None,
                 )
-                idxc, livec = idx[:cap], live[:cap]
-                return (
-                    t_s.at[idxc].set(
-                        jnp.where(livec, t_w, t_s[idxc]), mode="drop"),
-                    prim_s.at[idxc].set(
-                        jnp.where(livec, p_w, prim_s[idxc]), mode="drop"),
-                    ok2 & ~jnp.any(ov2 & livec),
-                )
-            return run
 
-        def run_wide(_):
-            # Tiered mini-wave: the wide pass costs ~50 ms at OV_CAP but
-            # typical waves overflow only a handful of rays.
-            return jax.lax.cond(
-                n_ov <= ts.OV_SMALL,
-                run_wide_cap(ts.OV_SMALL),
-                run_wide_cap(ts.OV_CAP),
+            def skip_wide(_):
+                return t_s, prim_s, jnp.asarray(True)
+
+            t_s, prim_s, ok2 = jax.lax.cond(
+                n_ov > 0, run_wide, skip_wide, None
+            )
+            ok = ok & ok2 & (n_ov <= ts.OV_CAP)
+            b0_s, b1_s = ts._recompute_bary(sp, o, d, t_s, prim_s)
+            t, prim, b0, b1 = jax.lax.cond(
+                ok,
+                lambda _: (t_s, prim_s, b0_s, b1_s),
+                lambda _: treelet_closest(scene.treelets, o, d, t_max,
+                                          interpret=interp),
                 None,
             )
+            return t[:n0], prim[:n0], b0[:n0], b1[:n0]
 
-        def skip_wide(_):
-            return t_s, prim_s, jnp.asarray(True)
-
-        t_s, prim_s, ok2 = jax.lax.cond(n_ov > 0, run_wide, skip_wide, None)
-        ok = ok & ok2 & (n_ov <= ts.OV_CAP)
-        b0_s, b1_s = ts._recompute_bary(sp, o, d, t_s, prim_s)
-        t, prim, b0, b1 = jax.lax.cond(
-            ok,
-            lambda _: (t_s, prim_s, b0_s, b1_s),
-            lambda _: treelet_closest(scene.treelets, o, d, t_max,
-                                      interpret=interp),
-            None,
-        )
-        o, d, t_max = o[:n0], d[:n0], t_max[:n0]
-        t, prim, b0, b1 = t[:n0], prim[:n0], b0[:n0], b1[:n0]
+        t, prim, b0, b1 = _sorted_call(scene, o, d, t_max, None, run_sorted)
     else:
         res = intersect_bvh(scene, o, d, t_max, meta.bvh_max_leaf, with_stats)
         if with_stats:
@@ -442,78 +465,87 @@ def any_intersect(scene, meta, o, d, t_max, skip_light) -> jnp.ndarray:
         # re-run per-ray through the wide slot stream.
         ch = scene.chunks
         interp = FORCE_PALLAS_INTERPRET
-        n0 = o.shape[0]
-        o, d, t_max, skip_light = _pad128(scene, o, d, t_max, skip_light)
-        n = o.shape[0]
-        rows = n // 128
-        words = ts.cross_words(ch, o, d, t_max, interpret=interp)
-        row_words = tr.row_words_of(words, rows)
-        row_pairs = jax.lax.population_count(row_words).sum().astype(
-            jnp.int32
-        )
-        coherent = row_pairs <= rows * _COHERENT_ROW_PAIRS
 
-        def rows_branch(_):
-            occ_r, ov_r = tr.rows_any_w(
-                ch, row_words, o, d, t_max, skip_light,
-                mult=_ROWS_MULT, interpret=interp,
+        def run_sorted(o, d, t_max, skip_light):
+            n0 = o.shape[0]
+            o, d, t_max, skip_light = _pad128(
+                scene, o, d, t_max, skip_light
             )
-            return occ_r, ov_r, jnp.asarray(True)
-
-        def slot_branch(_):
-            return ts.stream_any_w(
-                ch, words, o, d, t_max, skip_light,
-                mult=max(3, meta.slot_mult_tight - 1),
-                mult_wide=max(4, meta.slot_mult - 2), interpret=interp,
+            n = o.shape[0]
+            rows = n // 128
+            row_words = tr.row_words_interval(ch, o, d, t_max)
+            row_pairs = jax.lax.population_count(row_words).sum().astype(
+                jnp.int32
             )
+            coherent = row_pairs <= rows * _COHERENT_ROW_PAIRS
 
-        occ_s, ov, ok = jax.lax.cond(
-            coherent, rows_branch, slot_branch, None
-        )
-        idx, n_ov = _compact_indices(ov, ts.OV_CAP)
-        live = jnp.arange(ts.OV_CAP) < n_ov
-        o2 = jnp.where(live[:, None], o[idx], 0.0)
-        d2 = jnp.where(live[:, None], d[idx], _Z_DIR)
-        t2 = jnp.where(live, t_max[idx], 0.0)
-        s2 = jnp.where(live, skip_light[idx], -2)
-
-        def run_wide_cap(cap):
-            def run(_):
-                occ_w, ov2, ok2 = ts.stream_any(
-                    scene.chunks, o2[:cap], d2[:cap], t2[:cap], s2[:cap],
-                    C=ts.C_WIDE, mult=ts.C_WIDE, interpret=interp,
+            def rows_branch(_):
+                occ_r, ov_r = tr.rows_any_w(
+                    ch, row_words, o, d, t_max, skip_light,
+                    C=_ROWS_C, mult=_ROWS_MULT, interpret=interp,
                 )
-                idxc, livec = idx[:cap], live[:cap]
-                return (
-                    occ_s.at[idxc].set(
-                        jnp.where(livec, occ_w, occ_s[idxc]), mode="drop"),
-                    ok2 & ~jnp.any(ov2 & livec),
-                )
-            return run
+                return occ_r, ov_r, jnp.asarray(True)
 
-        def run_wide(_):
-            return jax.lax.cond(
-                n_ov <= ts.OV_SMALL,
-                run_wide_cap(ts.OV_SMALL),
-                run_wide_cap(ts.OV_CAP),
+            def slot_branch(_):
+                words = ts.cross_words(ch, o, d, t_max, interpret=interp)
+                return ts.stream_any_w(
+                    ch, words, o, d, t_max, skip_light,
+                    mult=max(3, meta.slot_mult_tight - 1),
+                    mult_wide=max(4, meta.slot_mult - 2),
+                    interpret=interp,
+                )
+
+            occ_s, ov, ok = jax.lax.cond(
+                coherent, rows_branch, slot_branch, None
+            )
+            idx, n_ov = _compact_indices(ov, ts.OV_CAP)
+            live = jnp.arange(ts.OV_CAP) < n_ov
+            o2 = jnp.where(live[:, None], o[idx], 0.0)
+            d2 = jnp.where(live[:, None], d[idx], _Z_DIR)
+            t2 = jnp.where(live, t_max[idx], 0.0)
+            s2 = jnp.where(live, skip_light[idx], -2)
+
+            def run_wide_cap(cap):
+                def run(_):
+                    occ_w, ov2, ok2 = ts.stream_any(
+                        scene.chunks, o2[:cap], d2[:cap], t2[:cap],
+                        s2[:cap], C=ts.C_WIDE, mult=ts.C_WIDE,
+                        interpret=interp,
+                    )
+                    idxc, livec = idx[:cap], live[:cap]
+                    return (
+                        occ_s.at[idxc].set(
+                            jnp.where(livec, occ_w, occ_s[idxc]),
+                            mode="drop"),
+                        ok2 & ~jnp.any(ov2 & livec),
+                    )
+                return run
+
+            def run_wide(_):
+                return jax.lax.cond(
+                    n_ov <= ts.OV_SMALL,
+                    run_wide_cap(ts.OV_SMALL),
+                    run_wide_cap(ts.OV_CAP),
+                    None,
+                )
+
+            def skip_wide(_):
+                return occ_s, jnp.asarray(True)
+
+            occ_s, ok2 = jax.lax.cond(n_ov > 0, run_wide, skip_wide, None)
+            ok = ok & ok2 & (n_ov <= ts.OV_CAP)
+            occ = jax.lax.cond(
+                ok,
+                lambda _: occ_s,
+                lambda _: treelet_any(scene.treelets, o, d, t_max,
+                                      skip_light, interpret=interp),
                 None,
             )
+            return (occ[:n0],)
 
-        def skip_wide(_):
-            return occ_s, jnp.asarray(True)
-
-        occ_s, ok2 = jax.lax.cond(n_ov > 0, run_wide, skip_wide, None)
-        ok = ok & ok2 & (n_ov <= ts.OV_CAP)
-        occ = jax.lax.cond(
-            ok,
-            lambda _: occ_s,
-            lambda _: treelet_any(scene.treelets, o, d, t_max, skip_light,
-                                  interpret=interp),
-            None,
-        )
-        o, d, t_max = o[:n0], d[:n0], t_max[:n0]
+        (occ,) = _sorted_call(scene, o, d, t_max, skip_light, run_sorted)
         sh = ray_spheres(o, d, t_max, scene.spheres)
-        return occ[:n0] | sh.hit
+        return occ | sh.hit
     max_leaf = meta.bvh_max_leaf
     bvh = scene.bvh
     n_nodes = bvh.node_lo.shape[0]
