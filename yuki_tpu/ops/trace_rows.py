@@ -55,7 +55,7 @@ def row_candidate_lists(ch, o, d, t_max, C: int):
     return extract_lists(row_words_of(words, o.shape[0] // LANES), C)
 
 
-def row_words_interval(ch, o, d, t_max):
+def row_words_interval(ch, o, d, t_max, group: int = LANES):
     """Conservative per-row crossing words [rows, W] u32 by interval
     arithmetic over each 128-ray row's bundle (origin box, per-axis
     direction interval, max t) — O(rows x chunks), 128x less work than
@@ -65,20 +65,23 @@ def row_words_interval(ch, o, d, t_max):
     and walk masked, so extra candidates cost skipped steps, never wrong
     results (same conservativeness argument as trace_pairs
     block_candidate_pairs, here at 128-ray granularity).  Parked lanes
-    (center origin, +z dir, t=0) only widen the intervals."""
+    (center origin, +z dir, t=0) only widen the intervals.
+
+    ``group`` generalizes the bundle width: 128 for rows-dispatch rows,
+    8 for the sublane-bundle engine's per-bundle cull (trace_bundles)."""
     n = o.shape[0]
-    rows = n // LANES
+    rows = n // group
     n_c = ch.n_treelets
     w = -(-n_c // 32)
     ch_pad = w * 32
 
-    ob = o.reshape(rows, LANES, 3)
-    db = d.reshape(rows, LANES, 3)
+    ob = o.reshape(rows, group, 3)
+    db = d.reshape(rows, group, 3)
     o_lo = ob.min(axis=1)[:, None, :]  # [rows, 1, 3]
     o_hi = ob.max(axis=1)[:, None, :]
     d_lo = db.min(axis=1)[:, None, :]
     d_hi = db.max(axis=1)[:, None, :]
-    t_hi = t_max.reshape(rows, LANES).max(axis=1)  # [rows]
+    t_hi = t_max.reshape(rows, group).max(axis=1)  # [rows]
 
     cb = ch.treelet_bounds
     pad = ch_pad - n_c
