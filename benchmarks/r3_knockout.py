@@ -71,7 +71,7 @@ def profile(name, scene, cam_params, n_tiles):
         def run(data, p_film):
             o, d = camera.ray(p_film)
             res = path_li(data, meta, params, sampler, ctx, o, d)
-            return res.radiance.sum()
+            return res.li.sum()
 
         return run
 
