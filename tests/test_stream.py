@@ -260,3 +260,21 @@ class TestCrossWordsKernel:
         ref = ts._cross_words_xla(ch, o, d, t_max)
         got = ts._cross_words_tpu(ch, o, d, t_max, interpret=True)
         assert np.array_equal(np.asarray(got), np.asarray(ref))
+
+    @pytest.mark.parametrize("group,word_cull", [
+        (2, True), (4, True), (1, False), (4, False), (3, True),
+    ])
+    def test_grouped_matches_xla(self, soup, group, word_cull):
+        """Row-group batching and the no-hierarchy variant are pure
+        scheduling knobs: words stay bitwise identical, including when
+        the row count is not a multiple of the group (pad rows)."""
+        import yuki_tpu.ops.trace_stream as ts
+
+        sc, ch = soup
+        o, d = rays(512, 21)
+        d = d.at[0:64].set(jnp.asarray([0.0, 0.0, 1.0]))
+        t_max = jnp.where(jnp.arange(512) % 3 == 0, 0.0, F32_MAX)
+        ref = ts._cross_words_xla(ch, o, d, t_max)
+        got = ts._cross_words_tpu(ch, o, d, t_max, interpret=True,
+                                  group=group, word_cull=word_cull)
+        assert np.array_equal(np.asarray(got), np.asarray(ref))

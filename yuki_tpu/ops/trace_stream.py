@@ -94,84 +94,138 @@ def _slab_axis(lo, hi, o, inv, tn, tf):
     )
 
 
-def _cross_words_kernel(bb_ref, cb_ref, rp_ref, out_ref, *, w_words, w_pad):
+def _cross_words_kernel(bb_ref, cb_ref, rp_ref, out_ref, *, w_words, w_pad,
+                        group=1, word_cull=True):
     """Per-128-ray-row crossing bitmask: chunks stream through VMEM as
     (8,1) sublane vectors against (1,128) ray lanes; bits pack across
     sublanes by disjoint-bit weighted sums (two's-complement adds of
-    disjoint bits == OR).  Out: (w_pad, 128) i32, sublane w = word w.
+    disjoint bits == OR).  Out: (group*w_pad, 128) i32 — subrow g's
+    word w lives at sublane g*w_pad + w.
 
     HIERARCHICAL (round 3): each 32-chunk word carries a union AABB
-    (wb_ref [w_pad8, 8] — lo xyz cols 0-2, hi xyz cols 3-5); one
-    vectorized (w_pad8, 128) slab pass tests every word box against
-    every lane, then a word none of the row's rays enter skips its
-    4x(8,128) chunk pass entirely, cutting the per-row cull from
-    O(total chunks) to O(chunks in row-crossed words) — the flat cull
-    was the atrium scaling wall (W=123 words at 347k tris, round-2
-    verdict item 2).  Chunks are in BVH DFS order, so 32-chunk words
-    are spatially compact.  An 8-chunk-block granularity was measured
-    and REJECTED (round 3): 4x the scalar pl.when branches cost more
-    than the extra chunk-pass skips saved (colonnade cross 44.6 ->
-    73.5 ms, atrium 80.2 -> 116.5 ms).  The slab folds use _safe_inv's
-    finite reciprocals — no NaN patching ops in the loop."""
-    ox = rp_ref[0:1, :]
-    oy = rp_ref[1:2, :]
-    oz = rp_ref[2:3, :]
-    dx = rp_ref[3:4, :]
-    dy = rp_ref[4:5, :]
-    dz = rp_ref[5:6, :]
-    tm = rp_ref[6:7, :]
+    (bb_ref [w_pad8, 8] — lo xyz cols 0-2, hi xyz cols 3-5); one
+    vectorized (w_pad8, 128) slab pass per subrow tests every word box
+    against every lane, then a word none of the GROUP's rays enter
+    skips its 4x(8,128) chunk passes entirely, cutting the per-row
+    cull from O(total chunks) to O(chunks in crossed words) — the flat
+    cull was the atrium scaling wall (W=123 words at 347k tris,
+    round-2 verdict item 2).  Chunks are in BVH DFS order, so 32-chunk
+    words are spatially compact.  An 8-chunk-block granularity was
+    measured and REJECTED (round 3): 4x the scalar pl.when branches
+    cost more than the extra chunk-pass skips saved (colonnade cross
+    44.6 -> 73.5 ms, atrium 80.2 -> 116.5 ms).  The slab folds use
+    _safe_inv's finite reciprocals — no NaN patching ops in the loop.
 
-    out_ref[0:w_pad, :] = jnp.zeros((w_pad, LANES), jnp.int32)
+    `group` batches several 128-ray rows per grid step: the per-word
+    scalar branch (measured ~0.3 us each) is paid once per GROUP
+    instead of once per row, at the cost of a group-granular (looser)
+    word cull; the chunk passes run per subrow inside a fori_loop so
+    kernel code size stays O(w_words), not O(w_words * group).
+    `word_cull=False` drops the hierarchy entirely (no scalar branches
+    at all) — the right trade for small-W scenes on divergent waves
+    where rows cross most words anyway."""
+    wpad8 = bb_ref.shape[0]
+    sub = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
 
-    @pl.when(jnp.any(tm > 0.0))
+    out_ref[0 : group * w_pad, :] = jnp.zeros(
+        (group * w_pad, LANES), jnp.int32
+    )
+
+    def axis(lo, hi, o_, inv, tn, tf):
+        t0 = (lo - o_) * inv
+        t1 = (hi - o_) * inv
+        return (
+            jnp.maximum(tn, jnp.minimum(t0, t1)),
+            jnp.minimum(tf, jnp.maximum(t0, t1)),
+        )
+
+    any_live = jnp.any(rp_ref[6:7, :] > 0.0)
+    for g in range(1, group):
+        any_live |= jnp.any(rp_ref[g * 8 + 6 : g * 8 + 7, :] > 0.0)
+
+    @pl.when(any_live)
     def _():
-        ix, iy, iz = _safe_inv(dx), _safe_inv(dy), _safe_inv(dz)
-        live = tm > 0.0
-        sub = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
-
-        def axis(lo, hi, o_, inv, tn, tf):
-            t0 = (lo - o_) * inv
-            t1 = (hi - o_) * inv
-            return (
-                jnp.maximum(tn, jnp.minimum(t0, t1)),
-                jnp.minimum(tf, jnp.maximum(t0, t1)),
+        # Precompute per-subrow derived planes ONCE: (group*8, 128) with
+        # rows g*8 + [ox, oy, oz, ix, iy, iz, tm, live].
+        derived = []
+        w_live_or = None
+        for g in range(group):
+            ox = rp_ref[g * 8 + 0 : g * 8 + 1, :]
+            oy = rp_ref[g * 8 + 1 : g * 8 + 2, :]
+            oz = rp_ref[g * 8 + 2 : g * 8 + 3, :]
+            dx = rp_ref[g * 8 + 3 : g * 8 + 4, :]
+            dy = rp_ref[g * 8 + 4 : g * 8 + 5, :]
+            dz = rp_ref[g * 8 + 5 : g * 8 + 6, :]
+            tm = rp_ref[g * 8 + 6 : g * 8 + 7, :]
+            ix, iy, iz = _safe_inv(dx), _safe_inv(dy), _safe_inv(dz)
+            live = (tm > 0.0).astype(jnp.float32)
+            derived.append(
+                jnp.concatenate([ox, oy, oz, ix, iy, iz, tm, live], axis=0)
             )
+            if word_cull:
+                # Word-level union-AABB cull, vectorized over all words.
+                tnw = jnp.zeros((wpad8, LANES), jnp.float32)
+                tfw = jnp.broadcast_to(tm, (wpad8, LANES))
+                tnw, tfw = axis(bb_ref[:, 0:1], bb_ref[:, 3:4], ox, ix,
+                                tnw, tfw)
+                tnw, tfw = axis(bb_ref[:, 1:2], bb_ref[:, 4:5], oy, iy,
+                                tnw, tfw)
+                tnw, tfw = axis(bb_ref[:, 2:3], bb_ref[:, 5:6], oz, iz,
+                                tnw, tfw)
+                wl = (tnw <= tfw) & (tm > 0.0)
+                w_live_or = wl if w_live_or is None else (w_live_or | wl)
+        planes = jnp.concatenate(derived, axis=0)  # (group*8, 128)
 
-        # Vectorized word-level union-AABB cull: one (w_pad8, 128) slab
-        # pass covers every (word, lane) pair.
-        wpad8 = bb_ref.shape[0]
-        tnw = jnp.zeros((wpad8, LANES), jnp.float32)
-        tfw = jnp.broadcast_to(tm, (wpad8, LANES))
-        tnw, tfw = axis(bb_ref[:, 0:1], bb_ref[:, 3:4], ox, ix, tnw, tfw)
-        tnw, tfw = axis(bb_ref[:, 1:2], bb_ref[:, 4:5], oy, iy, tnw, tfw)
-        tnw, tfw = axis(bb_ref[:, 2:3], bb_ref[:, 5:6], oz, iz, tnw, tfw)
-        word_live = (jnp.maximum(tnw, 0.0) <= tfw) & live
+        def word_body(wi, maybe_when):
+            def subrows(_):
+                def g_body(g, _):
+                    sl = jax.lax.dynamic_slice(
+                        planes, (g * 8, jnp.int32(0)), (8, LANES)
+                    )
+                    ox, oy, oz = sl[0:1, :], sl[1:2, :], sl[2:3, :]
+                    ix, iy, iz = sl[3:4, :], sl[4:5, :], sl[5:6, :]
+                    tm, lv = sl[6:7, :], sl[7:8, :]
+                    acc = jnp.zeros((1, LANES), jnp.int32)
+                    for q in range(4):
+                        cb0 = (wi * 4 + q) * 8
+                        blk = cb_ref[pl.ds(cb0, 8), :]  # (8,8) chunk bounds
+                        tn = jnp.zeros((1, LANES), jnp.float32)
+                        tf = tm
+                        tn, tf = axis(blk[:, 0:1], blk[:, 3:4], ox, ix,
+                                      tn, tf)
+                        tn, tf = axis(blk[:, 1:2], blk[:, 4:5], oy, iy,
+                                      tn, tf)
+                        tn, tf = axis(blk[:, 2:3], blk[:, 5:6], oz, iz,
+                                      tn, tf)
+                        cross = (tn <= tf) & (lv > 0.0)
+                        weight = jnp.int32(1) << (sub + 8 * q)
+                        acc = acc + jnp.sum(
+                            cross.astype(jnp.int32) * weight, axis=0,
+                            keepdims=True,
+                        )
+                    out_ref[pl.ds(g * w_pad + wi, 1), :] = acc
+                    return _
+
+                jax.lax.fori_loop(0, group, g_body, 0)
+
+            if maybe_when is None:
+                subrows(None)
+            else:
+                pl.when(maybe_when)(lambda: subrows(None))
 
         for wi in range(w_words):
-            @pl.when(jnp.any(word_live[wi : wi + 1, :]))
-            def _(wi=wi):
-                acc = jnp.zeros((1, LANES), jnp.int32)
-                for q in range(4):
-                    g = wi * 4 + q
-                    blk = cb_ref[pl.ds(g * 8, 8), :]  # (8, 8) chunk bounds
-                    tn = jnp.zeros((1, LANES), jnp.float32)
-                    tf = tm
-                    tn, tf = axis(blk[:, 0:1], blk[:, 3:4], ox, ix, tn, tf)
-                    tn, tf = axis(blk[:, 1:2], blk[:, 4:5], oy, iy, tn, tf)
-                    tn, tf = axis(blk[:, 2:3], blk[:, 5:6], oz, iz, tn, tf)
-                    cross = (jnp.maximum(tn, 0.0) <= tf) & live
-                    weight = jnp.int32(1) << (sub + 8 * q)
-                    acc = acc + jnp.sum(
-                        cross.astype(jnp.int32) * weight, axis=0,
-                        keepdims=True,
-                    )
-                out_ref[wi : wi + 1, :] = acc
+            word_body(
+                wi,
+                jnp.any(w_live_or[wi : wi + 1, :]) if word_cull else None,
+            )
 
 
-def _cross_words_tpu(ch, o, d, t_max, interpret=False):
+def _cross_words_tpu(ch, o, d, t_max, interpret=False, group=1,
+                     word_cull=True):
     """Pallas cross_words: the [N, Ch] slab matrix never touches HBM."""
     n = o.shape[0]
     rows = n // LANES
+    gpad_rows = (-rows) % group
     n_c = ch.n_treelets
     w_words = -(-n_c // 32)
     w_pad = -(-w_words // 8) * 8
@@ -200,29 +254,46 @@ def _cross_words_tpu(ch, o, d, t_max, interpret=False):
     packed = jnp.stack(
         [p.reshape(rows, LANES) for p in planes], axis=1
     ).reshape(rows * 8, LANES)
+    if gpad_rows:
+        # Pad the wave to a whole number of row-groups with dead rows
+        # (t_max = 0 -> every test is masked off).
+        packed = jnp.concatenate(
+            [packed, jnp.zeros((gpad_rows * 8, LANES), jnp.float32)], axis=0
+        )
+    grows = (rows + gpad_rows) // group
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
-        grid=(rows,),
+        grid=(grows,),
         in_specs=[
             pl.BlockSpec(bb.shape, lambda p: (0, 0)),
             pl.BlockSpec(cb.shape, lambda p: (0, 0)),
-            pl.BlockSpec((8, LANES), lambda p: (p, 0)),
+            pl.BlockSpec((8 * group, LANES), lambda p: (p, 0)),
         ],
-        out_specs=[pl.BlockSpec((w_pad, LANES), lambda p: (p, 0))],
+        out_specs=[pl.BlockSpec((group * w_pad, LANES), lambda p: (p, 0))],
     )
     (out,) = pl.pallas_call(
-        functools.partial(_cross_words_kernel, w_words=w_words, w_pad=w_pad),
+        functools.partial(_cross_words_kernel, w_words=w_words, w_pad=w_pad,
+                          group=group, word_cull=word_cull),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((rows * w_pad, LANES), jnp.int32)],
+        out_shape=[
+            jax.ShapeDtypeStruct((grows * group * w_pad, LANES), jnp.int32)
+        ],
         interpret=interpret,
     )(bb, cb, packed)
     words = (
-        out.reshape(rows, w_pad, LANES)[:, :w_words, :]
+        out.reshape(rows + gpad_rows, w_pad, LANES)[:rows, :w_words, :]
         .transpose(0, 2, 1)
         .reshape(n, w_words)
     )
     return jax.lax.bitcast_convert_type(words, jnp.uint32)
+
+
+# Grid-step row batching of the cross kernel (see _cross_words_kernel):
+# the per-word scalar branch amortizes across CROSS_GROUP rows.  1 until
+# on-chip measurement picks the production value.
+CROSS_GROUP = 1
+CROSS_WORD_CULL = True
 
 
 def cross_words(ch, o, d, t_max, interpret: bool = False):
@@ -235,7 +306,9 @@ def cross_words(ch, o, d, t_max, interpret: bool = False):
 
     n = o.shape[0]
     if (interpret or _jax.default_backend() == "tpu") and n % LANES == 0:
-        return _cross_words_tpu(ch, o, d, t_max, interpret=interpret)
+        return _cross_words_tpu(ch, o, d, t_max, interpret=interpret,
+                                group=CROSS_GROUP,
+                                word_cull=CROSS_WORD_CULL)
     return _cross_words_xla(ch, o, d, t_max)
 
 
