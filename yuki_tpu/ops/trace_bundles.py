@@ -47,8 +47,13 @@ from .trace_stream import (
 
 BUN = 8  # rays per bundle = one sublane group
 SPR = LANES // BUN  # bundle-slots per 128-lane slot row
-C_BUN = 48  # candidates per bundle (colonnade bounce p99 = 49, max 103;
-# overflowing bundles re-run per-ray through the C_WIDE stream)
+C_BUN = 96  # candidates per bundle.  Sized from CPU bounce-growth waves
+# (benchmarks/r3_bounce_growth.py): at C=48 late atrium bounces overflow
+# ~6% of bundles (~13k rays at 262k production waves — above OV_SMALL,
+# near OV_CAP, i.e. the expensive wide pass EVERY call and occasional
+# whole-wave treelet fallbacks); at C=96 overflow is 0.17% worst-case
+# (~450 rays -> the cheap OV_SMALL tier).  Extraction is O(C) but runs
+# on n/8 bundle rows, so C=96 here costs about what C=16 per-ray did.
 
 
 def bundle_words(words):
