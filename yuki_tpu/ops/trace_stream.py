@@ -63,7 +63,11 @@ from .trace import (
 
 BIG = 3.0e38
 C_MAIN = 16  # candidate-list width (colonnade bounce p95 = 9)
-C_WIDE = 80  # overflow pass width (colonnade max measured = 70)
+C_WIDE = 128  # overflow pass width.  Sized ABOVE the worst measured
+# per-ray incidence (atrium bounce-4 max = 88, r3_bounce_growth.py;
+# colonnade max 70): a wide-pass overflow flips the WHOLE wave to the
+# slow treelet fallback, so margin here is cheap insurance — the pass
+# runs on <= OV_CAP compacted rays, where extraction at C=128 is small.
 OV_CAP = 16384  # static mini-wave size for overflow rays
 OV_SMALL = 2048  # tight overflow tier: the wide pass costs ~50 ms at
 # OV_CAP (measured round 3) and runs whenever ANY ray of a wave
