@@ -211,6 +211,29 @@ def profile_scene(name, scene, cam_params):
     timed("bundle closest (full)", b_full, ch, o_s, d_s, t_s)
     timed("bundle any (full)", b_any, ch, o_s, d_s, t_s)
 
+    # --- bundle-size sweep (bun=4 halves the kernel amplification at
+    # ~1.7x the pack gathers: benchmarks/r3_bunsize.py) ---
+    for bun in (2, 4):
+        @jit
+        def b_full_b(ch, o, d, t, bun=bun):
+            bw = tb.bundle_words(ts.cross_words(ch, o, d, t), bun)
+            t_o, p_o, ov, ok = tb.bundles_closest_w(
+                ch, bw, o, d, t, mult=4 * meta.slot_mult_tight,
+                mult_wide=mult, bun=bun)
+            return t_o.sum() + p_o.sum()
+
+        @jit
+        def b_any_b(ch, o, d, t, bun=bun):
+            bw = tb.bundle_words(ts.cross_words(ch, o, d, t), bun)
+            occ, ov, ok = tb.bundles_any_w(
+                ch, bw, o, d, t, skip,
+                mult=4 * max(3, meta.slot_mult_tight - 1),
+                mult_wide=4 * max(4, meta.slot_mult - 2) + 4, bun=bun)
+            return occ.sum()
+
+        timed(f"bundle closest bun={bun}", b_full_b, ch, o_s, d_s, t_s)
+        timed(f"bundle any bun={bun}", b_any_b, ch, o_s, d_s, t_s)
+
     # --- correctness on the real wave: bundle vs stream bitwise ---
     @jit
     def both(ch, o, d, t):

@@ -224,3 +224,40 @@ class TestBundlesAny:
         occ, ov, ok = bundles_any_w(
             ch, bw, o, d, t_max, skip, C=16, mult=20, interpret=True)
         assert not bool(occ.any())
+
+
+class TestBundleSizes:
+    """bun is a pure scheduling knob: any bundle size must reproduce the
+    dense reference exactly (closest AND any), including mixed live/dead
+    lanes."""
+
+    @pytest.mark.parametrize("bun", [2, 4, 16])
+    def test_closest_matches_dense(self, soup, bun):
+        sc, ch = soup
+        o, d = rays(512, 8)
+        t_max = jnp.where(jnp.arange(512) % 5 == 0, 0.0, F32_MAX)
+        tref, pref, _, _ = traverse.intersect_dense(sc.data, o, d, t_max)
+        bw = bundle_words(cross_words(ch, o, d, t_max), bun)
+        t, p, ov, ok = bundles_closest_w(
+            ch, bw, o, d, t_max, C=64, mult=80, interpret=True, bun=bun)
+        assert bool(ok)
+        keep = ~np.asarray(ov)
+        assert np.array_equal(np.asarray(p)[keep], np.asarray(pref)[keep])
+        assert np.allclose(np.asarray(t)[keep], np.asarray(tref)[keep],
+                           rtol=1e-5)
+
+    @pytest.mark.parametrize("bun", [4, 16])
+    def test_any_matches_dense(self, soup, bun):
+        sc, ch = soup
+        o, d = rays(512, 9)
+        t_max = jnp.full(512, F32_MAX)
+        _, pref, _, _ = traverse.intersect_dense(sc.data, o, d, t_max)
+        skip = jnp.full(512, -2, jnp.int32)
+        bw = bundle_words(cross_words(ch, o, d, t_max), bun)
+        occ, ov, ok = bundles_any_w(
+            ch, bw, o, d, t_max, skip, C=64, mult=80, interpret=True,
+            bun=bun)
+        assert bool(ok)
+        keep = ~np.asarray(ov)
+        assert np.array_equal(np.asarray(occ)[keep],
+                              (np.asarray(pref) >= 0)[keep])

@@ -45,8 +45,12 @@ from .trace_stream import (
     extract_lists,
 )
 
-BUN = 8  # rays per bundle = one sublane group
-SPR = LANES // BUN  # bundle-slots per 128-lane slot row
+BUN = 8  # default rays per bundle = one sublane group.  Every entry
+# point below also takes bun=4 (or 2): smaller bundles trade fewer
+# shared-candidate kernel tests (colonnade bounce amp x2.25 at B=4 vs
+# x3.46 at B=8, benchmarks/r3_bunsize.py) for more bundle rows; the
+# right value per query type is picked on-chip.
+SPR = LANES // BUN  # bundle-slots per 128-lane slot row (at default BUN)
 C_BUN = 96  # candidates per bundle.  Sized from CPU bounce-growth waves
 # (benchmarks/r3_bounce_growth.py): at C=48 late atrium bounces overflow
 # ~6% of bundles (~13k rays at 262k production waves — above OV_SMALL,
@@ -56,20 +60,21 @@ C_BUN = 96  # candidates per bundle.  Sized from CPU bounce-growth waves
 # on n/8 bundle rows, so C=96 here costs about what C=16 per-ray did.
 
 
-def bundle_words(words):
-    """Per-ray crossing words [N, W] -> per-bundle OR words [N//8, W]."""
+def bundle_words(words, bun: int = BUN):
+    """Per-ray crossing words [N, W] -> per-bundle OR words [N//bun, W]."""
     n, w = words.shape
     return jax.lax.reduce(
-        words.reshape(n // BUN, BUN, w),
+        words.reshape(n // bun, bun, w),
         jnp.uint32(0),
         jax.lax.bitwise_or,
         (1,),
     )
 
 
-def bundle_slot_layout(n_b: int, n_chunks: int, lists, C: int):
+def bundle_slot_layout(n_b: int, n_chunks: int, lists, C: int,
+                       spr: int = SPR):
     """Chunk-major bundle-slot layout: ONE lax.sort groups (bundle,
-    chunk) candidates chunk-major; per-chunk runs align to SPR slots so
+    chunk) candidates chunk-major; per-chunk runs align to spr slots so
     every slot ROW serves a single chunk (the kernels' contract).
     Returns (pos_s, seg, aligned_off, total_slots[bundle-slot units])."""
     total_cap = n_b * C
@@ -80,18 +85,18 @@ def bundle_slot_layout(n_b: int, n_chunks: int, lists, C: int):
         keys_s, jnp.arange(n_chunks + 1, dtype=jnp.int32), side="left"
     ).astype(jnp.int32)
     counts = seg[1:] - seg[:-1]
-    aligned = -(-counts // SPR) * SPR
+    aligned = -(-counts // spr) * spr
     aligned_off = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(aligned)]
     )
     return pos_s, seg, aligned_off, aligned_off[-1]
 
 
-def _var_roll16(cat, sh):
-    """Per-row variable left-rotate of [R, 2*SPR] by sh[R] in [0, SPR):
-    four static power-of-2 rolls gated by the shift bits (the SPR=16
-    sibling of trace_stream._var_roll)."""
-    for k in range(4):
+def _var_rollp(cat, sh, spr):
+    """Per-row variable left-rotate of [R, 2*spr] by sh[R] in [0, spr):
+    log2(spr) static power-of-2 rolls gated by the shift bits (the
+    power-of-two sibling of trace_stream._var_roll)."""
+    for k in range(spr.bit_length() - 1):
         amt = 1 << k
         on = ((sh >> k) & 1)[:, None] == 1
         cat = jnp.where(on, jnp.roll(cat, -amt, axis=1), cat)
@@ -99,14 +104,14 @@ def _var_roll16(cat, sh):
 
 
 def bundle_slot_fill(n_b: int, n_chunks: int, pos_s, seg, aligned_off,
-                     C: int, max_rows: int):
+                     C: int, max_rows: int, spr: int = SPR):
     """Budget-dependent half of the bundle-slot build.
-    Returns (slot_pos [max_rows, SPR] i32 (sentinel n_b*C when empty),
-    row_chunk [max_rows] i32, valid [max_rows, SPR] bool)."""
+    Returns (slot_pos [max_rows, spr] i32 (sentinel n_b*C when empty),
+    row_chunk [max_rows] i32, valid [max_rows, spr] bool)."""
     total_cap = n_b * C
     total_slots = aligned_off[-1]
     g_tab = aligned_off[:-1] - seg[:-1]
-    row_off = aligned_off // SPR
+    row_off = aligned_off // spr
     rows_iota = jnp.arange(max_rows, dtype=jnp.int32)
     row_chunk = jnp.clip(
         jnp.searchsorted(row_off, rows_iota, side="right").astype(jnp.int32)
@@ -114,30 +119,30 @@ def bundle_slot_fill(n_b: int, n_chunks: int, pos_s, seg, aligned_off,
         0,
         n_chunks - 1,
     )
-    row_start = rows_iota * SPR - g_tab[row_chunk]
+    row_start = rows_iota * spr - g_tab[row_chunk]
     seg_end = seg[row_chunk + 1]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (max_rows, SPR), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (max_rows, spr), 1)
     valid = (
         (row_start[:, None] + lane < seg_end[:, None])
-        & (rows_iota[:, None] * SPR < total_slots)
+        & (rows_iota[:, None] * spr < total_slots)
     )
 
-    pos_rows = -(-total_cap // SPR)
+    pos_rows = -(-total_cap // spr)
     pos2d = jnp.concatenate(
-        [pos_s, jnp.full((-total_cap) % SPR, total_cap, jnp.int32)]
-    ).reshape(pos_rows, SPR)
-    r0 = jnp.clip(row_start // SPR, 0, pos_rows - 1)
+        [pos_s, jnp.full((-total_cap) % spr, total_cap, jnp.int32)]
+    ).reshape(pos_rows, spr)
+    r0 = jnp.clip(row_start // spr, 0, pos_rows - 1)
     r1 = jnp.clip(r0 + 1, 0, pos_rows - 1)
     cat = jnp.concatenate([pos2d[r0], pos2d[r1]], axis=1)
-    slot_pos = _var_roll16(cat, row_start % SPR)[:, :SPR]
+    slot_pos = _var_rollp(cat, row_start % spr, spr)[:, :spr]
     slot_pos = jnp.where(valid, slot_pos, total_cap)
     return slot_pos, row_chunk, valid
 
 
-def _bundle_table(o, d, t_max, extra):
-    """Ray planes -> bundle-major table [n_b, 128]: column p*BUN + r is
-    plane p of the bundle's ray r (64 live columns, padded to the fast
-    128-wide row-gather shape)."""
+def _bundle_table(o, d, t_max, extra, bun: int = BUN):
+    """Ray planes -> bundle-major table [n_b, 128]: column p*bun + r is
+    plane p of the bundle's ray r (8*bun live columns, padded to the
+    fast 128-wide row-gather shape)."""
     n = o.shape[0]
     planes = [
         o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2], t_max,
@@ -146,38 +151,42 @@ def _bundle_table(o, d, t_max, extra):
     ]
     tab = jnp.stack(planes, axis=1)  # [n, 8]
     tab = (
-        tab.reshape(n // BUN, BUN, 8)
+        tab.reshape(n // bun, bun, 8)
         .transpose(0, 2, 1)
-        .reshape(n // BUN, 64)
+        .reshape(n // bun, 8 * bun)
     )
+    if 8 * bun == LANES:
+        return tab
     return jnp.concatenate(
-        [tab, jnp.zeros((n // BUN, LANES - 64), tab.dtype)], axis=1
+        [tab, jnp.zeros((n // bun, LANES - 8 * bun), tab.dtype)], axis=1
     )
 
 
-def _pack_bundles(tab, slot_bun, valid, max_rows):
+def _pack_bundles(tab, slot_bun, valid, max_rows, bun: int = BUN,
+                  spr: int = SPR):
     """Bundle table -> plane-major kernel stream [max_rows*8, 128] via
-    ONE row-gather per bundle-slot (8x fewer than per-ray packing).
-    Dead slots carry t = -1 on every lane."""
+    ONE row-gather per bundle-slot (bun-times fewer than per-ray
+    packing).  Dead slots carry t = -1 on every lane."""
     flat = jnp.where(valid, slot_bun, 0).reshape(-1)
-    g = tab[flat][:, :64]  # [max_rows*SPR, 64]
+    g = tab[flat][:, : 8 * bun]  # [max_rows*spr, 8*bun]
     planes = (
-        g.reshape(max_rows, SPR, 8, BUN)
+        g.reshape(max_rows, spr, 8, bun)
         .transpose(0, 2, 1, 3)
         .reshape(max_rows, 8, LANES)
     )
-    valid_lane = jnp.repeat(valid, BUN, axis=1)  # [max_rows, 128]
+    valid_lane = jnp.repeat(valid, bun, axis=1)  # [max_rows, 128]
     planes = planes.at[:, 6, :].set(
         jnp.where(valid_lane, planes[:, 6, :], -1.0)
     )
     return planes.reshape(max_rows * 8, LANES)
 
 
-def _max_rows_b(n_b: int, C: int, n_chunks: int, mult: int) -> int:
+def _max_rows_b(n_b: int, C: int, n_chunks: int, mult: int,
+                spr: int = SPR) -> int:
     """Static bundle-slot-row budget: `mult` candidates per bundle on
-    average plus worst-case per-chunk SPR alignment padding."""
-    slots = mult * n_b + n_chunks * SPR
-    return -(-slots // (8 * SPR)) * 8
+    average plus worst-case per-chunk spr alignment padding."""
+    slots = mult * n_b + n_chunks * spr
+    return -(-slots // (8 * spr)) * 8
 
 
 def _scaled_fold(C: int, ts, det, prim):
@@ -198,30 +207,31 @@ def _scaled_fold(C: int, ts, det, prim):
 
 def bundles_closest_w(ch, bwords, o, d, t_max, C: int = C_BUN,
                       mult: int = 18, mult_wide: int | None = None,
-                      interpret: bool = False):
+                      interpret: bool = False, bun: int = BUN):
     """Closest hit over the bundle-slot stream, from per-bundle OR'd
-    crossing words [n//8, W].  Same contract as stream_closest_w:
+    crossing words [n//bun, W].  Same contract as stream_closest_w:
     returns (t, prim, overflow[n], ok) — overflow marks every ray of a
     bundle whose candidate list exceeded C; ok False means the slot
     budget blew and the wave must fall back.  Tiered budget like
     stream_closest_w (tight tier unless the wave's true demand spills)."""
     n = o.shape[0]
-    n_b = n // BUN
+    n_b = n // bun
+    spr = LANES // bun
     n_c = ch.n_treelets
 
     lists, ov_b = extract_lists(bwords, C)
     pos_s, seg, aligned_off, total_slots = bundle_slot_layout(
-        n_b, n_c, lists, C
+        n_b, n_c, lists, C, spr
     )
-    tab = _bundle_table(o, d, t_max, None)
+    tab = _bundle_table(o, d, t_max, None, bun)
 
     def tier(max_rows):
         def run(_):
             slot_pos, row_chunk, valid = bundle_slot_fill(
-                n_b, n_c, pos_s, seg, aligned_off, C, max_rows
+                n_b, n_c, pos_s, seg, aligned_off, C, max_rows, spr
             )
             slot_bun = jnp.where(valid, slot_pos // C, 0)
-            packed = _pack_bundles(tab, slot_bun, valid, max_rows)
+            packed = _pack_bundles(tab, slot_bun, valid, max_rows, bun, spr)
             out = _run_kernel(
                 _closest_kernel, ch, row_chunk, packed, max_rows,
                 jnp.float32, interpret,
@@ -229,9 +239,9 @@ def bundles_closest_w(ch, bwords, o, d, t_max, C: int = C_BUN,
             # Scaled triples stay scaled through the merge; ONE divide
             # per ray at the very end (vs one per slot in the per-ray
             # stream).
-            ts = out[:, 0, :].reshape(max_rows, SPR, BUN)
-            det = out[:, 2, :].reshape(max_rows, SPR, BUN)
-            prim = out[:, 1, :].reshape(max_rows, SPR, BUN)
+            ts = out[:, 0, :].reshape(max_rows, spr, bun)
+            det = out[:, 2, :].reshape(max_rows, spr, bun)
+            prim = out[:, 1, :].reshape(max_rows, spr, bun)
             miss = ~valid[..., None] | (prim < 0.0)
             ts = jnp.where(miss, F32_MAX, ts)
             det = jnp.where(miss, 1.0, det)
@@ -241,82 +251,83 @@ def bundles_closest_w(ch, bwords, o, d, t_max, C: int = C_BUN,
             # sentinel row n_b*C dropped).
             def scat(v, fill):
                 return (
-                    jnp.full((n_b * C, BUN), fill)
+                    jnp.full((n_b * C, bun), fill)
                     .at[pos_flat]
-                    .set(v.reshape(-1, BUN), mode="drop",
+                    .set(v.reshape(-1, bun), mode="drop",
                          unique_indices=True)
-                    .reshape(n_b, C, BUN)
+                    .reshape(n_b, C, bun)
                 )
             tmat = scat(ts, F32_MAX)
             dmat = scat(det, 1.0)
             pmat = scat(prim, BIG)
             b_ts, b_det, b_prim = _scaled_fold(C, tmat, dmat, pmat)
             hit = b_prim < BIG
-            t_out = jnp.where(hit, b_ts / b_det, t_max.reshape(n_b, BUN))
+            t_out = jnp.where(hit, b_ts / b_det, t_max.reshape(n_b, bun))
             prim_out = jnp.where(hit, b_prim, -1.0).astype(jnp.int32)
             return t_out.reshape(n), prim_out.reshape(n)
         return run
 
-    rows_a = _max_rows_b(n_b, C, n_c, mult)
-    ok_a = total_slots <= rows_a * SPR
+    rows_a = _max_rows_b(n_b, C, n_c, mult, spr)
+    ok_a = total_slots <= rows_a * spr
     if mult_wide is not None and mult_wide > mult:
-        rows_b = _max_rows_b(n_b, C, n_c, mult_wide)
-        ok = total_slots <= rows_b * SPR
+        rows_b = _max_rows_b(n_b, C, n_c, mult_wide, spr)
+        ok = total_slots <= rows_b * spr
         t_out, prim = jax.lax.cond(ok_a, tier(rows_a), tier(rows_b), None)
     else:
         ok = ok_a
         t_out, prim = tier(rows_a)(None)
-    overflow = jnp.repeat(ov_b, BUN)
+    overflow = jnp.repeat(ov_b, bun)
     return t_out, prim, overflow, ok
 
 
 def bundles_any_w(ch, bwords, o, d, t_max, skip_light, C: int = C_BUN,
                   mult: int = 14, mult_wide: int | None = None,
-                  interpret: bool = False):
+                  interpret: bool = False, bun: int = BUN):
     """Occlusion over the bundle-slot stream (per-bundle OR'd words).
     Returns (occluded[n], overflow[n], ok) — stream_any_w contract."""
     n = o.shape[0]
-    n_b = n // BUN
+    n_b = n // bun
+    spr = LANES // bun
     n_c = ch.n_treelets
 
     lists, ov_b = extract_lists(bwords, C)
     pos_s, seg, aligned_off, total_slots = bundle_slot_layout(
-        n_b, n_c, lists, C
+        n_b, n_c, lists, C, spr
     )
-    tab = _bundle_table(o, d, t_max, skip_light)
+    tab = _bundle_table(o, d, t_max, skip_light, bun)
 
     def tier(max_rows):
         def run(_):
             slot_pos, row_chunk, valid = bundle_slot_fill(
-                n_b, n_c, pos_s, seg, aligned_off, C, max_rows
+                n_b, n_c, pos_s, seg, aligned_off, C, max_rows, spr
             )
             slot_bun = jnp.where(valid, slot_pos // C, 0)
-            packed = _pack_bundles(tab, slot_bun, valid, max_rows)
+            packed = _pack_bundles(tab, slot_bun, valid, max_rows, bun, spr)
             occ = _run_kernel(
                 _any_kernel, ch, row_chunk, packed, max_rows, jnp.int32,
                 interpret,
             )
-            occ_rows = occ[:, 0, :].reshape(max_rows, SPR, BUN)
+            occ_rows = occ[:, 0, :].reshape(max_rows, spr, bun)
             occ_rows = jnp.where(valid[..., None], occ_rows, 0)
             # Scatter-max per bundle row (duplicate bundle targets are
             # fine under max).
             flat = jnp.where(valid, slot_bun, n_b).reshape(-1)
             occ_b = (
-                jnp.zeros((n_b + 1, BUN), jnp.int32)
+                jnp.zeros((n_b + 1, bun), jnp.int32)
                 .at[flat]
-                .max(occ_rows.reshape(-1, BUN), mode="drop")
+                .max(occ_rows.reshape(-1, bun), mode="drop")
             )
             return occ_b[:n_b].reshape(n) > 0
         return run
 
-    rows_a = _max_rows_b(n_b, C, n_c, mult)
-    ok_a = total_slots <= rows_a * SPR
+    rows_a = _max_rows_b(n_b, C, n_c, mult, spr)
+    ok_a = total_slots <= rows_a * spr
     if mult_wide is not None and mult_wide > mult:
-        rows_b = _max_rows_b(n_b, C, n_c, mult_wide)
-        ok = total_slots <= rows_b * SPR
+        rows_b = _max_rows_b(n_b, C, n_c, mult_wide, spr)
+        ok = total_slots <= rows_b * spr
         occ_out = jax.lax.cond(ok_a, tier(rows_a), tier(rows_b), None)
     else:
         ok = ok_a
         occ_out = tier(rows_a)(None)
-    overflow = jnp.repeat(ov_b, BUN)
+    overflow = jnp.repeat(ov_b, bun)
     return occ_out, overflow, ok
