@@ -212,21 +212,23 @@ def profile_scene(name, scene, cam_params):
     timed("bundle any (full)", b_any, ch, o_s, d_s, t_s)
 
     # --- bundle-size sweep (bun=4 halves the kernel amplification at
-    # ~1.7x the pack gathers: benchmarks/r3_bunsize.py) ---
-    for bun in (2, 4):
+    # ~1.7x the pack gathers; candidate caps sized per-B from
+    # benchmarks/r3_bunsize.py p99/max: B=2 -> 64 covers max 74,
+    # B=4 -> 64 covers p99 48 / max 104 via the overflow tier) ---
+    for bun, C_b in ((2, 64), (4, 64)):
         @jit
-        def b_full_b(ch, o, d, t, bun=bun):
+        def b_full_b(ch, o, d, t, bun=bun, C_b=C_b):
             bw = tb.bundle_words(ts.cross_words(ch, o, d, t), bun)
             t_o, p_o, ov, ok = tb.bundles_closest_w(
-                ch, bw, o, d, t, mult=4 * meta.slot_mult_tight,
+                ch, bw, o, d, t, C=C_b, mult=4 * meta.slot_mult_tight,
                 mult_wide=mult, bun=bun)
             return t_o.sum() + p_o.sum()
 
         @jit
-        def b_any_b(ch, o, d, t, bun=bun):
+        def b_any_b(ch, o, d, t, bun=bun, C_b=C_b):
             bw = tb.bundle_words(ts.cross_words(ch, o, d, t), bun)
             occ, ov, ok = tb.bundles_any_w(
-                ch, bw, o, d, t, skip,
+                ch, bw, o, d, t, skip, C=C_b,
                 mult=4 * max(3, meta.slot_mult_tight - 1),
                 mult_wide=4 * max(4, meta.slot_mult - 2) + 4, bun=bun)
             return occ.sum()
