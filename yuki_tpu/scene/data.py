@@ -210,6 +210,19 @@ class SceneMeta:
     # only for waves that actually demand it (_estimate_slot_mult).
     slot_mult: int = 6
     slot_mult_tight: int = 4
+    # Divergent-engine shape knobs (ops/trace_bundles.py): rays per
+    # bundle and candidate cap per bundle, separately for closest-hit
+    # and occlusion queries.  Occlusion waves share almost all
+    # candidates within a bundle (atrium amp x1.14 at B=8, gathers
+    # x0.14), so they take big bundles; closest-hit waves amplify
+    # faster (x3.5-4.1 at B=8 vs x2.3-2.5 at B=4), so they take B=4
+    # with a C=64 cap (covers bounce p99 33/48 on colonnade/atrium;
+    # the overflow tier absorbs the max-104 tail) — see
+    # benchmarks/r3_bunsize.py; revisit with on-chip stage timings.
+    bun_closest: int = 4
+    c_closest: int = 64
+    bun_any: int = 8
+    c_any: int = 96
 
 
 @dataclass

@@ -367,11 +367,12 @@ def intersect(scene, meta, o, d, t_max, with_stats: bool = False):
                 # per-bundle candidates cut extraction/sort/pack ~4-8x
                 # for a measured ~3.5x kernel test amplification.
                 words = ts.cross_words(ch, o, d, t_max, interpret=interp)
-                bw = tb.bundle_words(words)
+                bw = tb.bundle_words(words, meta.bun_closest)
                 return tb.bundles_closest_w(
-                    ch, bw, o, d, t_max,
+                    ch, bw, o, d, t_max, C=meta.c_closest,
                     mult=4 * meta.slot_mult_tight,
                     mult_wide=4 * meta.slot_mult + 4, interpret=interp,
+                    bun=meta.bun_closest,
                 )
 
             t_s, prim_s, ov, ok = jax.lax.cond(
@@ -496,12 +497,12 @@ def any_intersect(scene, meta, o, d, t_max, skip_light) -> jnp.ndarray:
 
             def slot_branch(_):
                 words = ts.cross_words(ch, o, d, t_max, interpret=interp)
-                bw = tb.bundle_words(words)
+                bw = tb.bundle_words(words, meta.bun_any)
                 return tb.bundles_any_w(
-                    ch, bw, o, d, t_max, skip_light,
+                    ch, bw, o, d, t_max, skip_light, C=meta.c_any,
                     mult=4 * max(3, meta.slot_mult_tight - 1),
                     mult_wide=4 * max(4, meta.slot_mult - 2) + 4,
-                    interpret=interp,
+                    interpret=interp, bun=meta.bun_any,
                 )
 
             occ_s, ov, ok = jax.lax.cond(
