@@ -320,11 +320,18 @@ def _sorted_call(scene, o, d, t_max, extra, fn):
     shadow waves only take the cheap rows branch at all when sorted).
     Cost: one u32 argsort + two gathers + one inverse gather, ~5 ms at
     262k — repaid ~10x by the cull tightness it buys."""
+    n = o.shape[0]
     order = jnp.argsort(ray_sort_key(scene, o, d))
     o_s, d_s, t_s = o[order], d[order], t_max[order]
     extra_s = None if extra is None else extra[order]
     outs = fn(o_s, d_s, t_s, extra_s)
-    inv = jnp.argsort(order)
+    # Invert the permutation with one scatter instead of a second
+    # argsort (order is a permutation, so targets are unique).
+    inv = (
+        jnp.zeros(n, jnp.int32)
+        .at[order]
+        .set(jnp.arange(n, dtype=jnp.int32), unique_indices=True)
+    )
     return tuple(x[inv] if x.ndim else x for x in outs)
 
 
