@@ -189,7 +189,11 @@ def _cross_words_kernel(bb_ref, cb_ref, rp_ref, out_ref, *, w_words, w_pad,
                     ox, oy, oz = sl[0:1, :], sl[1:2, :], sl[2:3, :]
                     ix, iy, iz = sl[3:4, :], sl[4:5, :], sl[5:6, :]
                     tm, lv = sl[6:7, :], sl[7:8, :]
-                    acc = jnp.zeros((1, LANES), jnp.int32)
+                    # Bit-pack with ONE cross-sublane reduction per word:
+                    # sublane s of acc8 accumulates bits q*8+s (disjoint
+                    # across q), so the expensive sublane sum happens
+                    # once instead of per q-block.
+                    acc8 = jnp.zeros((8, LANES), jnp.int32)
                     for q in range(4):
                         cb0 = (wi * 4 + q) * 8
                         blk = cb_ref[pl.ds(cb0, 8), :]  # (8,8) chunk bounds
@@ -203,10 +207,8 @@ def _cross_words_kernel(bb_ref, cb_ref, rp_ref, out_ref, *, w_words, w_pad,
                                       tn, tf)
                         cross = (tn <= tf) & (lv > 0.0)
                         weight = jnp.int32(1) << (sub + 8 * q)
-                        acc = acc + jnp.sum(
-                            cross.astype(jnp.int32) * weight, axis=0,
-                            keepdims=True,
-                        )
+                        acc8 = acc8 + cross.astype(jnp.int32) * weight
+                    acc = jnp.sum(acc8, axis=0, keepdims=True)
                     out_ref[pl.ds(g * w_pad + wi, 1), :] = acc
                     return _
 
