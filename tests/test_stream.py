@@ -278,3 +278,27 @@ class TestCrossWordsKernel:
         got = ts._cross_words_tpu(ch, o, d, t_max, interpret=True,
                                   group=group, word_cull=word_cull)
         assert np.array_equal(np.asarray(got), np.asarray(ref))
+
+
+class TestExtractLists:
+    def test_two_phase_matches_exact(self):
+        """Word-compacted extraction must produce identical lists and a
+        superset-consistent overflow flag (rows over the word cap are
+        flagged, like rows over the candidate cap)."""
+        import yuki_tpu.ops.trace_stream as ts
+
+        rng = np.random.default_rng(5)
+        r, w = 257, 17
+        words = jnp.asarray(
+            (rng.random((r, w)) < 0.04).astype(np.uint32)
+            * rng.integers(1, 2**32, (r, w), dtype=np.uint32)
+        )
+        ref_l, ref_ov = ts.extract_lists(words, 24)
+        got_l, got_ov = ts.extract_lists(words, 24, wc=12)
+        nzw = np.asarray((np.asarray(words) != 0).sum(axis=1))
+        ok_rows = nzw <= 12
+        assert np.array_equal(np.asarray(got_l)[ok_rows],
+                              np.asarray(ref_l)[ok_rows])
+        got_ov = np.asarray(got_ov)
+        assert np.array_equal(got_ov[ok_rows], np.asarray(ref_ov)[ok_rows])
+        assert got_ov[~ok_rows].all()

@@ -351,12 +351,41 @@ def _cross_words_xla(ch, o, d, t_max):
     )  # [N, W]
 
 
-def extract_lists(words, C: int):
+def extract_lists(words, C: int, wc: int | None = None):
     """uint32 bitmask words [R, W] -> (lists [R, C] i32 (-1 pad, ascending
-    id order), overflow [R] bool) via C lowest-set-bit extractions."""
+    id order), overflow [R] bool) via C lowest-set-bit extractions.
+
+    With `wc` set, extraction runs in two phases: first compact the (at
+    most wc) NONZERO words per row, then extract bits from the compacted
+    [R, wc] matrix — O(R*(wc*W + C*wc)) instead of O(R*C*W), ~2x fewer
+    ops at atrium scale (W=123).  Rows with more than wc nonzero words
+    are flagged overflow (they re-run through the wide pass), exactly
+    like rows with more than C candidates."""
     r, w = words.shape
     count = jax.lax.population_count(words).sum(axis=1)
     overflow = count > C
+
+    if wc is not None and wc < w:
+        nzw = (words != 0).sum(axis=1)
+        overflow = overflow | (nzw > wc)
+        w_iota = jax.lax.broadcasted_iota(jnp.int32, (r, w), 1)
+        wrds = words
+        comp_words, comp_ids = [], []
+        for _ in range(wc):
+            nz = wrds != 0
+            first_w = jnp.argmin(
+                jnp.where(nz, w_iota, w), axis=1
+            ).astype(jnp.int32)
+            sel = w_iota == first_w[:, None]
+            word_sel = jnp.where(sel, wrds, 0).sum(axis=1).astype(jnp.uint32)
+            comp_words.append(word_sel)
+            comp_ids.append(jnp.where(word_sel != 0, first_w, -1))
+            wrds = jnp.where(sel, 0, wrds)
+        words = jnp.stack(comp_words, axis=1)  # [R, wc]
+        word_base = jnp.stack(comp_ids, axis=1) * 32  # [R, wc], -32 pad
+        w = wc
+    else:
+        word_base = None
 
     w_iota = jax.lax.broadcasted_iota(jnp.int32, (r, w), 1)
     cols = []
@@ -372,8 +401,14 @@ def extract_lists(words, C: int):
             jnp.int32
         )
         valid = word_sel != 0
+        if word_base is None:
+            base = first_w * 32
+        else:
+            # One-hot select, not a gather (narrow per-row gathers are
+            # the slow scalar path on this chip).
+            base = jnp.where(sel, word_base, 0).sum(axis=1)
         cols.append(
-            jnp.where(valid, first_w * 32 + bit_idx, -1).astype(jnp.int32)
+            jnp.where(valid, base + bit_idx, -1).astype(jnp.int32)
         )
         words = jnp.where(sel, words & ~lsb[:, None], words)
     return jnp.stack(cols, axis=1), overflow
