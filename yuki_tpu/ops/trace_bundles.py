@@ -219,7 +219,12 @@ def bundles_closest_w(ch, bwords, o, d, t_max, C: int = C_BUN,
     spr = LANES // bun
     n_c = ch.n_treelets
 
-    lists, ov_b = extract_lists(bwords, C)
+    # Two-phase extraction for wide-word scenes: bundles never cross
+    # more than ~26 distinct words (measured max, colonnade+atrium), so
+    # compacting to 32 nonzero words first cuts extract ops ~1.75x at
+    # W=123 with zero added truncation overflow.
+    wc = 32 if bwords.shape[1] > 48 else None
+    lists, ov_b = extract_lists(bwords, C, wc=wc)
     pos_s, seg, aligned_off, total_slots = bundle_slot_layout(
         n_b, n_c, lists, C, spr
     )
@@ -290,7 +295,12 @@ def bundles_any_w(ch, bwords, o, d, t_max, skip_light, C: int = C_BUN,
     spr = LANES // bun
     n_c = ch.n_treelets
 
-    lists, ov_b = extract_lists(bwords, C)
+    # Two-phase extraction for wide-word scenes: bundles never cross
+    # more than ~26 distinct words (measured max, colonnade+atrium), so
+    # compacting to 32 nonzero words first cuts extract ops ~1.75x at
+    # W=123 with zero added truncation overflow.
+    wc = 32 if bwords.shape[1] > 48 else None
+    lists, ov_b = extract_lists(bwords, C, wc=wc)
     pos_s, seg, aligned_off, total_slots = bundle_slot_layout(
         n_b, n_c, lists, C, spr
     )
