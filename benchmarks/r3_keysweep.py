@@ -68,6 +68,19 @@ def keys_variant(name, o, d, lo, hi):
             | _morton_part_np(cell[:, 2]).astype(np.uint64)
         )
 
+    dir9 = np.zeros(len(d), np.uint64)
+    for ax in range(3):
+        b = np.clip((ad[:, ax] * 7.999).astype(np.uint64), 0, 7)
+        dir9 |= b << np.uint64(3 * (2 - ax))
+    # Interleaved (Morton) direction bits: bit k of each axis adjacent.
+    dirm6 = np.zeros(len(d), np.uint64)
+    for ax in range(3):
+        b = np.clip((ad[:, ax] * 3.999).astype(np.uint64), 0, 3)
+        for k in range(2):
+            dirm6 |= ((b >> np.uint64(k)) & np.uint64(1)) << np.uint64(
+                3 * k + (2 - ax)
+            )
+
     m32 = morton(5)   # 15 bits
     m64 = morton(6)   # 18 bits
     if name == "base":
@@ -80,6 +93,10 @@ def keys_variant(name, o, d, lo, hi):
         return oct_ << np.uint64(21) | dir6 << np.uint64(15) | m32
     if name == "m64dir":
         return oct_ << np.uint64(24) | m64 << np.uint64(6) | dir6
+    if name == "dir9":
+        return oct_ << np.uint64(24) | m32 << np.uint64(9) | dir9
+    if name == "dirm6":
+        return oct_ << np.uint64(21) | m32 << np.uint64(6) | dirm6
     raise ValueError(name)
 
 
@@ -159,7 +176,8 @@ def sweep(label, scene):
     ):
         base_pairs = int(pop(we_u).sum())
         print(f"  {wname}: per-ray pairs={base_pairs}", flush=True)
-        for kname in ("base", "m64", "dirlo", "dirhi", "m64dir"):
+        for kname in ("base", "m64", "dirlo", "dirhi", "m64dir", "dir9",
+                      "dirm6"):
             keys = keys_variant(kname, ow, dw, lo, hi)
             order = np.argsort(keys, kind="stable")
             we = we_u[order]

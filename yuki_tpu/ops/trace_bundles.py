@@ -4,20 +4,24 @@ The per-ray slot stream (trace_stream.py) pays its pipeline costs per
 (ray, chunk) pair: the candidate extraction, the chunk-major sort, and
 above all the pack row-gather (measured 51 ms of a 128 ms bounce call)
 all scale with ray-slots.  This engine regroups the SAME kernels around
-bundles of 8 consecutive *sorted* rays (one VPU sublane group):
+bundles of `bun` consecutive *sorted* rays (bun in {2,4,8,16}; the
+production defaults are B=4 for closest-hit and B=8 for occlusion,
+SceneMeta.bun_closest/bun_any):
 
-  - slot unit = (8-ray bundle, chunk); 16 bundle-slots per 128-lane row
-  - candidates per BUNDLE: OR of the 8 rays' exact crossing words
-    (measured colonnade bounce: 12.2/bundle vs 3.45/ray -> 2.3x fewer
-    pairs, so extraction + sort shrink ~2-4x)
+  - slot unit = (bundle, chunk); 128/bun bundle-slots per 128-lane row
+  - candidates per BUNDLE: OR of the bundle rays' exact crossing words
+    (measured colonnade bounce at B=8: 12.2/bundle vs 3.45/ray ->
+    2.3x fewer pairs, so extraction + sort shrink ~2-4x)
   - pack gathers ONE 128-wide row per bundle-slot instead of one per
-    ray-slot: 8x fewer gathers on the dominant pack term
+    ray-slot: bun-times fewer gathers on the dominant pack term
   - the Pallas kernels (closest/any walk) run UNCHANGED: a slot row is
-    still 128 lanes x one chunk; lanes just belong to 16 bundles
+    still 128 lanes x one chunk; lanes just belong to 128/bun bundles
 
-Cost trade: each bundle-slot tests all 8 rays against the chunk even
-when only some cross (measured test amplification x3.5 on bounce waves,
-x1.1-1.7 on coherent ones) — kernel time rises, everything else falls.
+Cost trade: each bundle-slot tests all bun rays against the chunk even
+when only some cross (measured test amplification x1.8-2.1 at B=4 /
+x2.6-3.3 at B=8 on bounce waves after the direction-bit sort key,
+x1.1-1.6 on occlusion ones) — kernel time rises, everything else
+falls; per-query bundle sizes pick each side of the trade.
 
 Correctness under the OR-superset: any triangle a ray can hit within
 [0, t_max] lies inside a chunk whose AABB the ray's EXACT slab test
@@ -58,6 +62,17 @@ C_BUN = 96  # candidates per bundle.  Sized from CPU bounce-growth waves
 # whole-wave treelet fallbacks); at C=96 overflow is 0.17% worst-case
 # (~450 rays -> the cheap OV_SMALL tier).  Extraction is O(C) but runs
 # on n/8 bundle rows, so C=96 here costs about what C=16 per-ray did.
+
+
+
+def _auto_wc(w: int) -> int | None:
+    """Two-phase extraction cap for wide-word scenes: bundles never
+    cross more than ~26 distinct words (measured max, colonnade+atrium,
+    B=4/8 — benchmarks + /tmp wc stats recorded in ARCHITECTURE.md), so
+    compacting to 32 nonzero words first cuts extract ops ~1.75x at
+    W=123 with zero added truncation overflow; bundles beyond the cap
+    are flagged and re-run through the wide pass like any overflow."""
+    return 32 if w > 48 else None
 
 
 def bundle_words(words, bun: int = BUN):
@@ -219,12 +234,7 @@ def bundles_closest_w(ch, bwords, o, d, t_max, C: int = C_BUN,
     spr = LANES // bun
     n_c = ch.n_treelets
 
-    # Two-phase extraction for wide-word scenes: bundles never cross
-    # more than ~26 distinct words (measured max, colonnade+atrium), so
-    # compacting to 32 nonzero words first cuts extract ops ~1.75x at
-    # W=123 with zero added truncation overflow.
-    wc = 32 if bwords.shape[1] > 48 else None
-    lists, ov_b = extract_lists(bwords, C, wc=wc)
+    lists, ov_b = extract_lists(bwords, C, wc=_auto_wc(bwords.shape[1]))
     pos_s, seg, aligned_off, total_slots = bundle_slot_layout(
         n_b, n_c, lists, C, spr
     )
@@ -295,12 +305,7 @@ def bundles_any_w(ch, bwords, o, d, t_max, skip_light, C: int = C_BUN,
     spr = LANES // bun
     n_c = ch.n_treelets
 
-    # Two-phase extraction for wide-word scenes: bundles never cross
-    # more than ~26 distinct words (measured max, colonnade+atrium), so
-    # compacting to 32 nonzero words first cuts extract ops ~1.75x at
-    # W=123 with zero added truncation overflow.
-    wc = 32 if bwords.shape[1] > 48 else None
-    lists, ov_b = extract_lists(bwords, C, wc=wc)
+    lists, ov_b = extract_lists(bwords, C, wc=_auto_wc(bwords.shape[1]))
     pos_s, seg, aligned_off, total_slots = bundle_slot_layout(
         n_b, n_c, lists, C, spr
     )

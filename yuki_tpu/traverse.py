@@ -232,7 +232,14 @@ def ray_sort_key(scene, o, d):
         | (_morton_part(cell[..., 1]) << 1)
         | _morton_part(cell[..., 2])
     )
+    # Normalize by the max component first: shadow rays arrive
+    # UNNORMALIZED (spawn_ray_to's d = target - o, magnitude = distance
+    # to the light), so raw |d| saturates every bit to 3 exactly on
+    # occlusion waves; the linf-normalized form cuts colonnade shadow
+    # B=8 amplification x1.58 -> x1.41 and is neutral-or-better
+    # everywhere else (benchmarks/r3_keysweep.py dirnorm variant).
     ad = jnp.abs(d)
+    ad = ad / jnp.maximum(ad.max(axis=-1, keepdims=True), 1e-30)
     db = jnp.clip((ad * 3.999).astype(jnp.uint32), 0, 3)
     dir6 = (db[..., 0] << 4) | (db[..., 1] << 2) | db[..., 2]
     return (
