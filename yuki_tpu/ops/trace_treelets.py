@@ -237,7 +237,7 @@ def treelet_closest(tl, o, d, t_max, interpret: bool = False):
             table(tl.super_bounds.shape),
             table(tl.super_range.shape),
             table(tl.treelet_bounds.shape),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # tris stay in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # tris stay in HBM
         ] + [block] * 7,
         out_specs=[block] * 4,
         out_shape=[
@@ -286,7 +286,7 @@ def treelet_any(tl, o, d, t_max, skip_light, interpret: bool = False):
             table(tl.super_bounds.shape),
             table(tl.super_range.shape),
             table(tl.treelet_bounds.shape),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ] + [block] * 8,
         out_specs=pl.BlockSpec(
             (BLOCK_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
