@@ -25,14 +25,44 @@ def test_whitted_step_budget_glass_capped():
 
 
 def test_gather1d_int_large_values_exact():
-    # f32 MXU round-trip corrupts ints above 2^24; int vectors must take
-    # the plain-gather path (advisor round-2 medium finding).
+    # The naive f32 MXU round-trip corrupts ints above 2^24 (advisor
+    # round-2 medium finding); the hi/lo-split MXU path must be exact
+    # for EVERY int32, including >2^24 offsets and negatives.
     from yuki_tpu.gathers import gather1d
 
-    big = np.array([0, 2**24 + 1, 2**25 + 3, 123456789], dtype=np.int32)
-    idx = jnp.asarray([1, 2, 3, 0], dtype=jnp.int32)
+    big = np.array(
+        [0, 2**24 + 1, 2**25 + 3, 123456789, -5, -(2**24) - 7,
+         2**31 - 1, -(2**31)],
+        dtype=np.int32,
+    )
+    idx = jnp.asarray([1, 2, 3, 0, 4, 5, 6, 7, 0, 6], dtype=jnp.int32)
     out = np.asarray(gather1d(jnp.asarray(big), idx))
     np.testing.assert_array_equal(out, big[np.asarray(idx)])
+
+
+def test_eval_texture_large_offset_exact():
+    # Descriptor fetches ride ONE MXU row; the offset's hi/lo split must
+    # address texels above 2^24 exactly.
+    from yuki_tpu.scene.data import TextureAtlas
+    from yuki_tpu.textures import eval_texture
+
+    n_texels = 2**24 + 64
+    texels = jnp.zeros((n_texels, 3), jnp.float32)
+    texels = texels.at[2**24 + 5].set(jnp.asarray([0.25, 0.5, 0.75]))
+    atlas = TextureAtlas(
+        texels=texels,
+        offset=jnp.asarray([0, 2**24], jnp.int32),
+        width=jnp.asarray([4, 8], jnp.int32),
+        height=jnp.asarray([4, 8], jnp.int32),
+    )
+    # Texture 1, texel (x=5, y=0): off + y*w + x = 2^24 + 5.
+    # eval_texture flips t: use t just under 1/8 so yi == h-1... pick
+    # uv that lands on y=0 after the flip: t = 1 - eps -> yi = 0.
+    uv = jnp.asarray([[(5.0 + 0.5) / 8.0, 1.0 - 1e-4]])
+    out = np.asarray(
+        eval_texture(atlas, jnp.asarray([1], jnp.int32), uv)
+    )
+    np.testing.assert_allclose(out[0], [0.25, 0.5, 0.75], rtol=0)
 
 
 def test_pad128_shapes_and_benign_tail():

@@ -41,14 +41,27 @@ def rowgather(table, idx):
 def gather1d(vec, idx):
     """vec [K], idx [N] -> [N] via the same small-table strategy.
 
-    Integer vectors take the plain-gather path regardless of K: the MXU
-    route round-trips values through f32, which silently corrupts ints
-    above 2^24 (e.g. texture-atlas flat texel offsets at a few 2K
-    textures — advisor round-2 finding)."""
-    if vec.shape[0] <= SMALL_TABLE_ROWS and jnp.issubdtype(
-        vec.dtype, jnp.floating
-    ):
-        return rowgather(vec.astype(jnp.float32)[:, None], idx)[..., 0].astype(
-            vec.dtype
-        )
+    Floats ride the MXU directly.  int32 vectors are EXACT through the
+    MXU via a hi/lo split: v == (v >> 12) * 4096 + (v & 0xFFF) holds
+    for every two's-complement int32 (arithmetic shift), and each half
+    fits a f32 significand (|hi| <= 2^19, lo < 2^12), so the one-hot
+    HIGHEST-precision products round-trip exactly — this restores the
+    ~100x-over-scalar-gather MXU path for texture-atlas texel offsets
+    above 2^24 (the advisor round-2 finding only ruled out the naive
+    single-f32 round trip)."""
+    if vec.shape[0] <= SMALL_TABLE_ROWS:
+        if jnp.issubdtype(vec.dtype, jnp.floating):
+            return rowgather(
+                vec.astype(jnp.float32)[:, None], idx
+            )[..., 0].astype(vec.dtype)
+        if vec.dtype == jnp.int32:
+            halves = jnp.stack(
+                [(vec >> 12).astype(jnp.float32),
+                 (vec & 0xFFF).astype(jnp.float32)], axis=1,
+            )
+            row = rowgather(halves, idx)
+            return (
+                row[..., 0].astype(jnp.int32) * 4096
+                + row[..., 1].astype(jnp.int32)
+            )
     return vec[idx]

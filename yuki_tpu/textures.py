@@ -12,15 +12,34 @@ from __future__ import annotations
 
 import numpy as np
 
-from .gathers import gather1d
+from .gathers import SMALL_TABLE_ROWS, gather1d, rowgather
 import jax.numpy as jnp
 
 
 def eval_texture(atlas, tex_id: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
     """tex_id [N] i32 (must be >=0, caller masks), uv [N,2] -> [N,3]."""
-    w = gather1d(atlas.width, tex_id)
-    h = gather1d(atlas.height, tex_id)
-    off = gather1d(atlas.offset, tex_id)
+    k = atlas.offset.shape[0]
+    if k <= SMALL_TABLE_ROWS:
+        # ONE MXU row-fetch for all three descriptors (narrow scalar
+        # gathers cost ~8 ns/lane EACH on this chip — three of them per
+        # textured bounce were a top Cornell term).  The offset rides
+        # exactly as a hi/lo f32 pair (see gathers.gather1d).
+        desc = jnp.stack(
+            [atlas.width.astype(jnp.float32),
+             atlas.height.astype(jnp.float32),
+             (atlas.offset >> 12).astype(jnp.float32),
+             (atlas.offset & 0xFFF).astype(jnp.float32)], axis=1,
+        )
+        row = rowgather(desc, tex_id)
+        w = row[..., 0].astype(jnp.int32)
+        h = row[..., 1].astype(jnp.int32)
+        off = row[..., 2].astype(jnp.int32) * 4096 + row[..., 3].astype(
+            jnp.int32
+        )
+    else:
+        w = gather1d(atlas.width, tex_id)
+        h = gather1d(atlas.height, tex_id)
+        off = gather1d(atlas.offset, tex_id)
     s = uv[..., 0] - jnp.floor(uv[..., 0])
     t = uv[..., 1] - jnp.floor(uv[..., 1])
     t = 1.0 - t
