@@ -94,7 +94,56 @@ def load_atrium():
     return load_pbrt(SceneLoadSettings(path=scene_file))
 
 
+def _probe_devices(q):
+    # Module-level: the spawn context needs a picklable target.
+    import jax
+
+    q.put(len(jax.devices()))
+
+
+def _device_watchdog(timeout_s: float = 600.0) -> bool:
+    """Probe TPU availability in a subprocess with a hard timeout.
+
+    The axon tunnel's device init blocks FOREVER when the remote pool is
+    unreachable (observed round 3: multi-hour outage), which would hang
+    the driver's round-end bench run.  A subprocess probe + timeout turns
+    that into an honest one-line JSON error instead."""
+    import multiprocessing as mp
+    import sys
+
+    ctx = mp.get_context("spawn")
+    q = ctx.Queue()
+    p = ctx.Process(target=_probe_devices, args=(q,), daemon=True)
+    p.start()
+    p.join(timeout_s)
+    if p.is_alive() or p.exitcode != 0:
+        if p.is_alive():
+            p.terminate()
+        print(
+            json.dumps(
+                {
+                    "metric": "path_d5_1080p_closest_hit_rays_sponza_class",
+                    "value": 0.0,
+                    "unit": "Mrays/s",
+                    "vs_baseline": 0.0,
+                    "error": "tpu backend unavailable (device init timed "
+                             f"out after {timeout_s:.0f}s — axon tunnel "
+                             "down, not a renderer regression; see "
+                             "BENCH_PREVIEW_r02.json for last good run)",
+                }
+            )
+        )
+        sys.stdout.flush()
+        return False
+    return True
+
+
 def main():
+    import os
+
+    if os.environ.get("JAX_PLATFORMS", "axon") != "cpu" and not _device_watchdog():
+        return
+
     from yuki_tpu.scene.cornell import cornell
     from yuki_tpu.scene.testscenes import colonnade
 

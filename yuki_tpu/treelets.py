@@ -66,8 +66,19 @@ def build_treelets(
     tri_light: np.ndarray,  # [N] i32
     leaf_size: int = 16,
     super_size: int = 2048,
+    pack_chunks: bool = False,
 ) -> TreeletArrays:
-    """Cut the built BVH into supers/treelets (host, vectorized-ish)."""
+    """Cut the built BVH into supers/treelets (host, vectorized-ish).
+
+    ``pack_chunks`` (chunk mode, super_size == leaf_size only; benchmark
+    use — benchmarks/r3_chunkpack.py): greedily merge DFS-consecutive cut
+    subtrees into one chunk while the combined prim count fits leaf_size.
+    Measured a clear NEGATIVE for production (see ARCHITECTURE.md round-3
+    negative results): chunk count falls only ~6% (fill is already ~86/128
+    raw mean, so consecutive pairs rarely fit) while the spatially loose
+    DFS unions DOUBLE per-ray bounce crossings (3.54 -> 7.34 on the
+    colonnade) — the pack/kernel terms scale with crossings and dominate
+    the O(rays x W) cross term the merge shrinks."""
     n_nodes = len(bvh.child0)
 
     # Subtree prim counts + first-prim offsets via reverse topological
@@ -101,6 +112,27 @@ def build_treelets(
 
     treelets = []  # (lo, hi, prim_start, prim_count)
     super_rows = []  # (lo, hi, t_first, t_count)
+    if pack_chunks:
+        assert super_size == leaf_size, "pack_chunks is chunk-mode only"
+        groups = []  # lists of member roots
+        cur, cur_n = [], 0
+        for n in super_roots:
+            c = int(counts[n])
+            if cur and cur_n + c > leaf_size:
+                groups.append(cur)
+                cur, cur_n = [], 0
+            cur.append(n)
+            cur_n += c
+        if cur:
+            groups.append(cur)
+        for g in groups:
+            lo = np.min([bvh.node_lo[n] for n in g], axis=0)
+            hi = np.max([bvh.node_hi[n] for n in g], axis=0)
+            start = int(min(first[n] for n in g))
+            count = int(sum(counts[n] for n in g))
+            super_rows.append((lo, hi, len(treelets), 1))
+            treelets.append((lo, hi, start, count))
+        super_roots = []
     for sr in super_roots:
         t_first = len(treelets)
         stack = [sr]
