@@ -98,8 +98,8 @@ def _slab_axis(lo, hi, o, inv, tn, tf):
     )
 
 
-def _cross_words_kernel(bb_ref, cb_ref, rp_ref, out_ref, *, w_words, w_pad,
-                        group=1, word_cull=True):
+def _cross_words_kernel(bb_ref, cb_ref, rp_ref, out_ref, pln_ref, *,
+                        w_words, w_pad, group=1, word_cull=True):
     """Per-128-ray-row crossing bitmask: chunks stream through VMEM as
     (8,1) sublane vectors against (1,128) ray lanes; bits pack across
     sublanes by disjoint-bit weighted sums (two's-complement adds of
@@ -149,9 +149,11 @@ def _cross_words_kernel(bb_ref, cb_ref, rp_ref, out_ref, *, w_words, w_pad,
 
     @pl.when(any_live)
     def _():
-        # Precompute per-subrow derived planes ONCE: (group*8, 128) with
-        # rows g*8 + [ox, oy, oz, ix, iy, iz, tm, live].
-        derived = []
+        # Precompute per-subrow derived planes ONCE into VMEM scratch:
+        # rows g*8 + [ox, oy, oz, ix, iy, iz, tm, live].  Staged through
+        # a ref because the fori body below needs a DYNAMIC subrow slice
+        # and Mosaic has no lowering for dynamic_slice on traced VALUES —
+        # only on refs via pl.ds (sublane dim).
         w_live_or = None
         for g in range(group):
             ox = rp_ref[g * 8 + 0 : g * 8 + 1, :]
@@ -163,8 +165,8 @@ def _cross_words_kernel(bb_ref, cb_ref, rp_ref, out_ref, *, w_words, w_pad,
             tm = rp_ref[g * 8 + 6 : g * 8 + 7, :]
             ix, iy, iz = _safe_inv(dx), _safe_inv(dy), _safe_inv(dz)
             live = (tm > 0.0).astype(jnp.float32)
-            derived.append(
-                jnp.concatenate([ox, oy, oz, ix, iy, iz, tm, live], axis=0)
+            pln_ref[g * 8 : (g + 1) * 8, :] = jnp.concatenate(
+                [ox, oy, oz, ix, iy, iz, tm, live], axis=0
             )
             if word_cull:
                 # Word-level union-AABB cull, vectorized over all words.
@@ -178,14 +180,11 @@ def _cross_words_kernel(bb_ref, cb_ref, rp_ref, out_ref, *, w_words, w_pad,
                                 tnw, tfw)
                 wl = (tnw <= tfw) & (tm > 0.0)
                 w_live_or = wl if w_live_or is None else (w_live_or | wl)
-        planes = jnp.concatenate(derived, axis=0)  # (group*8, 128)
 
         def word_body(wi, maybe_when):
             def subrows(_):
                 def g_body(g, _):
-                    sl = jax.lax.dynamic_slice(
-                        planes, (g * 8, jnp.int32(0)), (8, LANES)
-                    )
+                    sl = pln_ref[pl.ds(g * 8, 8), :]
                     ox, oy, oz = sl[0:1, :], sl[1:2, :], sl[2:3, :]
                     ix, iy, iz = sl[3:4, :], sl[4:5, :], sl[5:6, :]
                     tm, lv = sl[6:7, :], sl[7:8, :]
@@ -277,6 +276,7 @@ def _cross_words_tpu(ch, o, d, t_max, interpret=False, group=1,
             pl.BlockSpec((8 * group, LANES), lambda p: (p, 0)),
         ],
         out_specs=[pl.BlockSpec((group * w_pad, LANES), lambda p: (p, 0))],
+        scratch_shapes=[pltpu.VMEM((group * 8, LANES), jnp.float32)],
     )
     (out,) = pl.pallas_call(
         functools.partial(_cross_words_kernel, w_words=w_words, w_pad=w_pad,
