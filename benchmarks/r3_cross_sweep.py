@@ -63,7 +63,7 @@ def bounce_wave(scene, cam_params):
     tmax_full = jnp.full(n, traverse.F32_MAX)
 
     @jax.jit
-    def wave(o0, d0):
+    def wave(data, o0, d0):
         hit0 = traverse.intersect(data, meta, o0, d0, tmax_full)
         alive = hit0.hit
         si = make_surface(data, hit0, o0, d0)
@@ -78,7 +78,7 @@ def bounce_wave(scene, cam_params):
         order = jnp.argsort(traverse.ray_sort_key(data, o1, d1))
         return o1[order], d1[order], t1[order]
 
-    return jax.block_until_ready(wave(o0, d0))
+    return jax.block_until_ready(wave(data, o0, d0))
 
 
 def sweep(name, scene, cam_params):

@@ -66,7 +66,7 @@ def diag(name, scene, cam_params):
     )
 
     @jax.jit
-    def wave_stats(o, d, tm):
+    def wave_stats(data, o, d, tm):
         order = jnp.argsort(ray_sort_key(data, o, d))
         o_s, d_s, t_s = o[order], d[order], tm[order]
         rows = n // 128
@@ -86,7 +86,7 @@ def diag(name, scene, cam_params):
 
     def report(tag, o, d, tm):
         alive, rp, pairs, n_ov, bpairs, b_ov, total_b = map(
-            int, jax.block_until_ready(wave_stats(o, d, tm)))
+            int, jax.block_until_ready(wave_stats(data, o, d, tm)))
         rows = n // 128
         coh = rp <= rows * _COHERENT_ROW_PAIRS
         n_b = n // 8
@@ -107,11 +107,11 @@ def diag(name, scene, cam_params):
         )
 
     @jax.jit
-    def closest(o, d, tm):
+    def closest(data, o, d, tm):
         return traverse.intersect(data, meta, o, d, tm)
 
     @jax.jit
-    def anyhit(o, d, tm, skip):
+    def anyhit(data, o, d, tm, skip):
         return traverse.any_intersect(data, meta, o, d, tm, skip)
 
     def timed(label, fn, *args):
@@ -126,7 +126,7 @@ def diag(name, scene, cam_params):
     dim = 2
     for b in range(4):
         report(f"b{b} closest", o, d, t_max)
-        hit = timed(f"b{b} closest", closest, o, d, t_max)
+        hit = timed(f"b{b} closest", closest, data, o, d, t_max)
         alive = hit.hit
         si = make_surface(data, hit, o, d)
         mp = bsdf_mod.gather_materials(data, si, meta)
@@ -147,7 +147,7 @@ def diag(name, scene, cam_params):
         nl = len(meta.light_types)
         print(f"  b{b} NEE batch = {nl}x{n}", flush=True)
         report_batched(name, data, meta, ch, o_sh, d_sh, t_sh)
-        timed(f"b{b} any (batched NEE)", anyhit, o_sh, d_sh, t_sh, s_sh)
+        timed(f"b{b} any (batched NEE)", anyhit, data, o_sh, d_sh, t_sh, s_sh)
 
         u = sampler.get_2d(ctx, dim + 2 * nl)
         bs = bsdf_mod.bsdf_sample(mp, si, si.wo, u, meta)
@@ -179,7 +179,7 @@ def report_batched(name, data, meta, ch, o, d, tm):
         n = o.shape[0]
 
     @jax.jit
-    def stats(o, d, tm):
+    def stats(data, o, d, tm):
         order = jnp.argsort(ray_sort_key(data, o, d))
         o_s, d_s, t_s = o[order], d[order], tm[order]
         rows = n // 128
@@ -192,7 +192,7 @@ def report_batched(name, data, meta, ch, o, d, tm):
         return (tm > 0).sum(), row_pairs, (cnt > ts.C_MAIN).sum(), bcnt.sum()
 
     alive, rp, n_ov, bpairs = map(int, jax.block_until_ready(
-        stats(o, d, tm)))
+        stats(data, o, d, tm)))
     rows = n // 128
     coh = rp <= rows * _COHERENT_ROW_PAIRS
     print(

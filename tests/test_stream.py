@@ -302,3 +302,86 @@ class TestExtractLists:
         got_ov = np.asarray(got_ov)
         assert np.array_equal(got_ov[ok_rows], np.asarray(ref_ov)[ok_rows])
         assert got_ov[~ok_rows].all()
+
+
+class TestTwoLevelCull:
+    """candidate_lists_2l must be bitwise-identical to candidate_lists for
+    every non-overflow ray, and flag overflow conservatively (never emit a
+    truncated list without the flag)."""
+
+    def test_matches_flat(self, soup):
+        import yuki_tpu.ops.trace_stream as ts
+        sc, ch = soup
+        n, C = 384, 64
+        o, d = rays(n, 21)
+        tm = jnp.full(n, F32_MAX)
+        ref_l, ref_ov = jax.jit(
+            ts.candidate_lists, static_argnums=(4,))(ch, o, d, tm, C)
+        got_l, got_ov = jax.jit(
+            ts.candidate_lists_2l, static_argnums=(4, 5))(ch, o, d, tm, C)
+        ref_l, ref_ov = np.asarray(ref_l), np.asarray(ref_ov)
+        got_l, got_ov = np.asarray(got_l), np.asarray(got_ov)
+        ok = ~got_ov
+        assert ok.any()
+        assert np.array_equal(got_l[ok], ref_l[ok])
+        # Flat overflow implies 2l overflow (2l can also overflow on S).
+        assert (got_ov | ~ref_ov).all()
+
+    def test_word_overflow_flagged(self, soup):
+        """Rays crossing more than S words must be flagged, and their
+        emitted lists must still be a prefix-exact subset."""
+        import yuki_tpu.ops.trace_stream as ts
+        sc, ch = soup
+        n, C = 192, 64
+        o, d = rays(n, 22)
+        tm = jnp.full(n, F32_MAX)
+        got_l, got_ov = jax.jit(
+            ts.candidate_lists_2l, static_argnums=(4, 5))(ch, o, d, tm, C, 2)
+        ref = np_crossings(ch, o, d, tm)
+        got_l, got_ov = np.asarray(got_l), np.asarray(got_ov)
+        for r in range(n):
+            got = set(got_l[r][got_l[r] >= 0])
+            if not got_ov[r]:
+                assert got == ref[r], r
+            else:
+                assert got <= ref[r], r
+
+    def test_dead_lanes(self, soup):
+        import yuki_tpu.ops.trace_stream as ts
+        sc, ch = soup
+        o, d = rays(64, 23)
+        lists, ov = jax.jit(
+            ts.candidate_lists_2l, static_argnums=(4, 5)
+        )(ch, o, d, jnp.zeros(64), 8)
+        assert (np.asarray(lists) == -1).all()
+        assert not bool(np.asarray(ov).any())
+
+    def test_stream_l_e2e_matches_dense(self, soup):
+        """Full 2l pipeline (cross_compact -> extract_compact ->
+        stream_*_l) must agree with the dense sweep for non-overflow
+        rays — exactly the production slot-branch composition."""
+        import yuki_tpu.ops.trace_stream as ts
+        sc, ch = soup
+        n = 512
+        o, d = rays(n, 24)
+        tm = jnp.full(n, F32_MAX)
+        tref, pref, _, _ = traverse.intersect_dense(sc.data, o, d, tm)
+        lists, ov = ts.candidate_lists_2l(ch, o, d, tm, 64)
+        t, p, ov2, ok = ts.stream_closest_l(
+            ch, lists, ov, o, d, tm, C=64, interpret=True)
+        assert bool(ok)
+        keep = ~np.asarray(ov2)
+        assert keep.any()
+        assert np.array_equal(np.asarray(p)[keep], np.asarray(pref)[keep])
+        assert np.allclose(np.asarray(t)[keep], np.asarray(tref)[keep],
+                           rtol=1e-5)
+        skip = jnp.full(n, -2, jnp.int32)
+        tm2 = jnp.full(n, 2.5)
+        refocc = traverse.any_intersect_dense(sc.data, o, d, tm2, skip)
+        lists2, ovl = ts.candidate_lists_2l(ch, o, d, tm2, 64)
+        occ, ov3, ok2 = ts.stream_any_l(
+            ch, lists2, ovl, o, d, tm2, skip, C=64, interpret=True)
+        assert bool(ok2)
+        keep2 = ~np.asarray(ov3)
+        assert np.array_equal(np.asarray(occ)[keep2],
+                              np.asarray(refocc)[keep2])

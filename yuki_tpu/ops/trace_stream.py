@@ -351,6 +351,47 @@ def _cross_words_xla(ch, o, d, t_max):
     )  # [N, W]
 
 
+def _extract_phase2(words, word_base, C: int):
+    """C lowest-set-bit extractions from bitmask words [R, w] (ascending
+    id order, -1 pad).  word_base [R, w] i32 gives each COLUMN's chunk-id
+    base (compacted layouts); None means column index * 32 (dense)."""
+    r, w = words.shape
+    w_iota = jax.lax.broadcasted_iota(jnp.int32, (r, w), 1)
+    cols = []
+    for _ in range(C):
+        nz = words != 0
+        first_w = jnp.argmin(
+            jnp.where(nz, w_iota, w), axis=1
+        ).astype(jnp.int32)  # [R]
+        sel = w_iota == first_w[:, None]
+        word_sel = jnp.where(sel, words, 0).sum(axis=1).astype(jnp.uint32)
+        lsb = word_sel & (~word_sel + jnp.uint32(1))
+        bit_idx = jax.lax.population_count(lsb - jnp.uint32(1)).astype(
+            jnp.int32
+        )
+        valid = word_sel != 0
+        if word_base is None:
+            base = first_w * 32
+        else:
+            # One-hot select, not a gather (narrow per-row gathers are
+            # the slow scalar path on this chip).
+            base = jnp.where(sel, word_base, 0).sum(axis=1)
+        cols.append(
+            jnp.where(valid, base + bit_idx, -1).astype(jnp.int32)
+        )
+        words = jnp.where(sel, words & ~lsb[:, None], words)
+    return jnp.stack(cols, axis=1)
+
+
+def extract_compact(words, word_base, C: int):
+    """(lists, overflow) from a pre-compacted word layout: words [R, wc]
+    u32 with word_base [R, wc] i32 chunk-id bases (-32 pad columns).
+    The direct consumer of cross_compact's output — no dense [R, W]
+    rebuild between the two-level cull and extraction."""
+    count = jax.lax.population_count(words).sum(axis=1)
+    return _extract_phase2(words, word_base, C), count > C
+
+
 def extract_lists(words, C: int, wc: int | None = None):
     """uint32 bitmask words [R, W] -> (lists [R, C] i32 (-1 pad, ascending
     id order), overflow [R] bool) via C lowest-set-bit extractions.
@@ -383,40 +424,143 @@ def extract_lists(words, C: int, wc: int | None = None):
             wrds = jnp.where(sel, 0, wrds)
         words = jnp.stack(comp_words, axis=1)  # [R, wc]
         word_base = jnp.stack(comp_ids, axis=1) * 32  # [R, wc], -32 pad
-        w = wc
     else:
         word_base = None
 
-    w_iota = jax.lax.broadcasted_iota(jnp.int32, (r, w), 1)
-    cols = []
-    for _ in range(C):
-        nz = words != 0
-        first_w = jnp.argmin(
-            jnp.where(nz, w_iota, w), axis=1
-        ).astype(jnp.int32)  # [R]
-        sel = w_iota == first_w[:, None]
-        word_sel = jnp.where(sel, words, 0).sum(axis=1).astype(jnp.uint32)
-        lsb = word_sel & (~word_sel + jnp.uint32(1))
-        bit_idx = jax.lax.population_count(lsb - jnp.uint32(1)).astype(
-            jnp.int32
-        )
-        valid = word_sel != 0
-        if word_base is None:
-            base = first_w * 32
-        else:
-            # One-hot select, not a gather (narrow per-row gathers are
-            # the slow scalar path on this chip).
-            base = jnp.where(sel, word_base, 0).sum(axis=1)
-        cols.append(
-            jnp.where(valid, base + bit_idx, -1).astype(jnp.int32)
-        )
-        words = jnp.where(sel, words & ~lsb[:, None], words)
-    return jnp.stack(cols, axis=1), overflow
+    return _extract_phase2(words, word_base, C), overflow
 
 
 def candidate_lists(ch, o, d, t_max, C: int):
     """Exact per-ray crossed-chunk lists (cross_words + extract_lists)."""
     return extract_lists(cross_words(ch, o, d, t_max), C)
+
+
+# ---------------------------------------------------------------------
+# Two-level exact cull: the flat cross is O(rays x chunks) — the atrium
+# scaling wall (W=123 words at 347k tris).  Level 1 slab-tests each ray
+# against the union AABB of every 32-chunk WORD (~W tests); level 2
+# tests only the crossed words' 32 chunks, fetched by an exact one-hot
+# MXU gather (gathers.py pattern).  Measured per-ray crossed words
+# (benchmarks/r3_superstats.py): colonnade bounce mean 6.6 / max 21,
+# atrium primary mean 11.9 / max 19 -> W + 32*S_true = 258-500 slab
+# tests/ray vs the flat 1454/3935, all dense VPU/MXU work.  Output is
+# the compacted (words, base) layout extract_compact consumes directly
+# — the dense [N, W] matrix is never materialized.
+# ---------------------------------------------------------------------
+
+# Static dispatch floor for the two-level cull: below this chunk count
+# the flat dense cross is at most ~32 word-columns wide and the L2
+# one-hot matmuls cost more than they save.  w = n_c/32 vs L2's S*32
+# slab tests puts break-even near n_c ~ 800-1000.
+CROSS_2L_MIN_CHUNKS = 1024
+
+CROSS_S = 24  # crossed-word slots per ray.  Covers every measured max
+# (21 colonnade bounce, 19 atrium primary); rays crossing more words
+# are flagged overflow and re-run through the wide pass, whose dense
+# cross is exact at any incidence.
+
+
+def _word_tables(ch):
+    """Per-word union AABBs [W, 3]x2 (level 1) and the MXU bounds table
+    [W, 192] = 32 chunks x (lo.xyz, hi.xyz) per word (level 2).  Pad
+    chunks carry lo = hi = BIG (finite: +inf would turn the one-hot
+    matmul's 0*inf products into NaN); level 2 masks pad bits by global
+    chunk id, so the BIG box's measure-zero 'equal slab on all axes'
+    crossing can never emit an out-of-range candidate."""
+    n_c = ch.n_treelets
+    w = -(-n_c // 32)
+    pad = w * 32 - n_c
+    cb = ch.treelet_bounds[:, :6]
+    lo_pad = jnp.concatenate([cb[:, 0:3], jnp.full((pad, 3), jnp.inf)], 0)
+    hi_pad = jnp.concatenate([cb[:, 3:6], jnp.full((pad, 3), -jnp.inf)], 0)
+    bb_lo = lo_pad.reshape(w, 32, 3).min(axis=1)
+    bb_hi = hi_pad.reshape(w, 32, 3).max(axis=1)
+    tab = jnp.concatenate(
+        [cb, jnp.full((pad, 6), BIG, jnp.float32)], 0
+    ).reshape(w, 32 * 6)
+    return bb_lo, bb_hi, tab
+
+
+def cross_compact(ch, o, d, t_max, S: int = CROSS_S):
+    """Two-level exact crossing cull.  Returns (words [N, S] u32,
+    word_base [N, S] i32 (-32 pad), overflow [N] bool): bit j of words
+    column s is set iff the ray EXACTLY crosses chunk word_base + j —
+    identical bits to cross_words for every non-overflow ray, in the
+    compacted layout extract_compact consumes."""
+    n = o.shape[0]
+    n_c = ch.n_treelets
+    w = -(-n_c // 32)
+    bb_lo, bb_hi, tab = _word_tables(ch)
+    live = t_max > 0.0
+
+    # Level 1: per-ray x word-box slab matrix [N, w].
+    inv = [_safe_inv(d[:, a])[:, None] for a in range(3)]
+    tn = jnp.zeros((n, 1), o.dtype)
+    tf = t_max[:, None]
+    for a in range(3):
+        tn, tf = _slab_axis(
+            bb_lo[None, :, a], bb_hi[None, :, a], o[:, a][:, None],
+            inv[a], tn, tf,
+        )
+    crossed_w = (tn <= tf) & live[:, None]  # [N, w]
+
+    # Pack word crossings and extract up to S word ids (ascending).
+    w2 = -(-w // 32)
+    pad_w = w2 * 32 - w
+    if pad_w:
+        crossed_w = jnp.concatenate(
+            [crossed_w, jnp.zeros((n, pad_w), bool)], axis=1
+        )
+    bits32 = jax.lax.broadcasted_iota(jnp.uint32, (1, 1, 32), 2)
+    ww = (
+        (crossed_w.reshape(n, w2, 32).astype(jnp.uint32) << bits32)
+        .sum(axis=2)
+        .astype(jnp.uint32)
+    )
+    wlists = _extract_phase2(ww, None, S)  # [N, S] word ids, -1 pad
+    overflow = crossed_w.sum(axis=1) > S
+
+    # Level 2: each slot's 32 chunk bounds via one exact one-hot MXU
+    # matmul ([N, w] @ [w, 192], HIGHEST precision — every output is a
+    # single exact 1.0 * value product), then the exact per-chunk slab.
+    w_ids = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
+    j32 = jax.lax.broadcasted_iota(jnp.int32, (1, 32), 1)
+    comp_words, comp_base = [], []
+    for s in range(S):
+        ids = wlists[:, s]
+        valid = ids >= 0
+        oh = (ids[:, None] == w_ids).astype(jnp.float32)  # invalid -> 0
+        g = jax.lax.dot_general(
+            oh, tab, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        ).reshape(n, 32, 6)
+        tn = jnp.zeros((n, 1), o.dtype)
+        tf = t_max[:, None]
+        for a in range(3):
+            tn, tf = _slab_axis(
+                g[:, :, a], g[:, :, 3 + a], o[:, a][:, None], inv[a],
+                tn, tf,
+            )
+        in_range = (ids[:, None] * 32 + j32) < n_c
+        cr = (tn <= tf) & valid[:, None] & live[:, None] & in_range
+        comp_words.append(
+            (cr.astype(jnp.uint32) << bits32[0]).sum(axis=1)
+            .astype(jnp.uint32)
+        )
+        comp_base.append(jnp.where(valid, ids * 32, -32))
+    return (
+        jnp.stack(comp_words, axis=1),
+        jnp.stack(comp_base, axis=1),
+        overflow,
+    )
+
+
+def candidate_lists_2l(ch, o, d, t_max, C: int, S: int = CROSS_S):
+    """Exact per-ray crossed-chunk lists via the two-level cull.
+    Bitwise-identical lists to candidate_lists for non-overflow rays."""
+    cw, cb2, ov1 = cross_compact(ch, o, d, t_max, S)
+    lists, ov2 = extract_compact(cw, cb2, C)
+    return lists, ov1 | ov2
 
 
 def _var_roll(cat, sh):
@@ -715,7 +859,20 @@ def stream_closest_w(ch, words, o, d, t_max, C: int = C_MAIN,
                      mult: int = 6, mult_wide: int | None = None,
                      interpret: bool = False):
     """Closest hit over the exact incidence stream, from precomputed
-    crossing words.
+    crossing words (dense [N, W] layout; extracts lists then defers to
+    stream_closest_l)."""
+    lists, overflow = extract_lists(words, C)
+    return stream_closest_l(
+        ch, lists, overflow, o, d, t_max, C=C, mult=mult,
+        mult_wide=mult_wide, interpret=interpret,
+    )
+
+
+def stream_closest_l(ch, lists, overflow, o, d, t_max, C: int = C_MAIN,
+                     mult: int = 6, mult_wide: int | None = None,
+                     interpret: bool = False):
+    """Closest hit over the exact incidence stream, from extracted
+    candidate lists [N, C] (-1 pad, ascending chunk id).
 
     Returns (t, prim, overflow, ok): `overflow` marks rays whose candidate
     list exceeded C (their results may MISS hits — the caller re-runs them
@@ -733,7 +890,6 @@ def stream_closest_w(ch, words, o, d, t_max, C: int = C_MAIN,
     n = o.shape[0]
     n_c = ch.n_treelets
 
-    lists, overflow = extract_lists(words, C)
     pos_s, seg, aligned_off, total_slots = slot_layout(n, n_c, lists, C)
 
     def tier(max_rows):
@@ -810,13 +966,24 @@ def stream_any_w(ch, words, o, d, t_max, skip_light, C: int = C_MAIN,
                  mult: int = 5, mult_wide: int | None = None,
                  interpret: bool = False):
     """Occlusion over the exact incidence stream, from precomputed
-    crossing words.  Returns (occluded, overflow, ok); overflow rays may
-    report unoccluded falsely and must be re-checked by the caller.
-    Tiered slot-row budget like stream_closest_w."""
+    crossing words (dense layout; extracts then defers to stream_any_l)."""
+    lists, overflow = extract_lists(words, C)
+    return stream_any_l(
+        ch, lists, overflow, o, d, t_max, skip_light, C=C, mult=mult,
+        mult_wide=mult_wide, interpret=interpret,
+    )
+
+
+def stream_any_l(ch, lists, overflow, o, d, t_max, skip_light,
+                 C: int = C_MAIN, mult: int = 5,
+                 mult_wide: int | None = None, interpret: bool = False):
+    """Occlusion over the exact incidence stream, from extracted candidate
+    lists.  Returns (occluded, overflow, ok); overflow rays may report
+    unoccluded falsely and must be re-checked by the caller.  Tiered
+    slot-row budget like stream_closest_l."""
     n = o.shape[0]
     n_c = ch.n_treelets
 
-    lists, overflow = extract_lists(words, C)
     pos_s, seg, aligned_off, total_slots = slot_layout(n, n_c, lists, C)
 
     # skip plane rides the 8th sublane of the ray table.

@@ -212,16 +212,16 @@ class SceneMeta:
     slot_mult_tight: int = 4
     # Divergent-engine shape knobs (ops/trace_bundles.py): rays per
     # bundle and candidate cap per bundle, separately for closest-hit
-    # and occlusion queries.  Occlusion waves share almost all
-    # candidates within a bundle (atrium amp x1.14 at B=8, gathers
-    # x0.14), so they take big bundles; closest-hit waves amplify
-    # faster (x3.5-4.1 at B=8 vs x2.3-2.5 at B=4), so they take B=4
-    # with a C=64 cap (covers bounce p99 33/48 on colonnade/atrium;
-    # the overflow tier absorbs the max-104 tail) — see
-    # benchmarks/r3_bunsize.py; revisit with on-chip stage timings.
-    bun_closest: int = 4
+    # and occlusion queries.  Default 1 = per-ray slot stream.  The
+    # CPU-calibrated bundle defaults (B=4 closest / B=8 any) measured
+    # 3.2x/1.6x SLOWER than the per-ray stream on-chip (343/170 vs
+    # 108/108 ms per 262k-ray bounce call, r3_bundle_stages.py): the
+    # bundle merge scatters narrow [*, bun] rows (the slow scalar
+    # path) and the OR-amplified kernel work exceeds what the shared
+    # extraction saves.  Bundles remain available for experiments.
+    bun_closest: int = 1
     c_closest: int = 64
-    bun_any: int = 8
+    bun_any: int = 1
     c_any: int = 96
 
 

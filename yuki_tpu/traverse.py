@@ -387,18 +387,43 @@ def intersect(scene, meta, o, d, t_max, with_stats: bool = False):
             def slot_branch(_):
                 # Only the divergent branch needs the exact per-ray
                 # cull; coherent waves skip its cost entirely (the
-                # interval probe above is rows-granular).  Round 3: the
-                # per-ray slot stream is replaced by the 8-ray
-                # sublane-bundle engine (ops/trace_bundles.py) — OR'd
-                # per-bundle candidates cut extraction/sort/pack ~4-8x
-                # for a measured ~3.5x kernel test amplification.
+                # interval probe above is rows-granular).  Round-3
+                # NEGATIVE result: the sublane-bundle engine
+                # (ops/trace_bundles.py) measured 3.2x SLOWER than the
+                # per-ray stream on real bounce waves (343 vs 108 ms,
+                # benchmarks/r3_bundle_stages.py on-chip) — its merge
+                # scatters narrow [*, bun] rows (the slow scalar path)
+                # and the OR'd kernel amplification exceeds the
+                # extraction savings.  Per-ray stream is production;
+                # bundles stay behind meta.bun_closest > 1.
+                if meta.bun_closest > 1:
+                    words = ts.cross_words(ch, o, d, t_max, interpret=interp)
+                    bw = tb.bundle_words(words, meta.bun_closest)
+                    return tb.bundles_closest_w(
+                        ch, bw, o, d, t_max, C=meta.c_closest,
+                        mult=4 * meta.slot_mult_tight,
+                        mult_wide=4 * meta.slot_mult + 4, interpret=interp,
+                        bun=meta.bun_closest,
+                    )
+                if ch.n_treelets >= ts.CROSS_2L_MIN_CHUNKS:
+                    # Two-level exact cull: O(words + true incidence)
+                    # per ray instead of O(total chunks) — the atrium
+                    # scaling fix (VERDICT r2 weak #2).  Word-overflow
+                    # rays fold into the existing wide re-run, whose
+                    # dense cross is exact at any incidence.
+                    lists, ov = ts.candidate_lists_2l(
+                        ch, o, d, t_max, ts.C_MAIN
+                    )
+                    return ts.stream_closest_l(
+                        ch, lists, ov, o, d, t_max,
+                        mult=meta.slot_mult_tight, mult_wide=meta.slot_mult,
+                        interpret=interp,
+                    )
                 words = ts.cross_words(ch, o, d, t_max, interpret=interp)
-                bw = tb.bundle_words(words, meta.bun_closest)
-                return tb.bundles_closest_w(
-                    ch, bw, o, d, t_max, C=meta.c_closest,
-                    mult=4 * meta.slot_mult_tight,
-                    mult_wide=4 * meta.slot_mult + 4, interpret=interp,
-                    bun=meta.bun_closest,
+                return ts.stream_closest_w(
+                    ch, words, o, d, t_max,
+                    mult=meta.slot_mult_tight, mult_wide=meta.slot_mult,
+                    interpret=interp,
                 )
 
             t_s, prim_s, ov, ok = jax.lax.cond(
@@ -522,13 +547,34 @@ def any_intersect(scene, meta, o, d, t_max, skip_light) -> jnp.ndarray:
                 return occ_r, ov_r, jnp.asarray(True)
 
             def slot_branch(_):
+                # Per-ray stream is production (see intersect: bundles
+                # measured slower on-chip); bundles behind bun_any > 1.
+                if meta.bun_any > 1:
+                    words = ts.cross_words(ch, o, d, t_max, interpret=interp)
+                    bw = tb.bundle_words(words, meta.bun_any)
+                    return tb.bundles_any_w(
+                        ch, bw, o, d, t_max, skip_light, C=meta.c_any,
+                        mult=4 * max(3, meta.slot_mult_tight - 1),
+                        mult_wide=4 * max(4, meta.slot_mult - 2) + 4,
+                        interpret=interp, bun=meta.bun_any,
+                    )
+                if ch.n_treelets >= ts.CROSS_2L_MIN_CHUNKS:
+                    # Two-level exact cull (see intersect above).
+                    lists, ov = ts.candidate_lists_2l(
+                        ch, o, d, t_max, ts.C_MAIN
+                    )
+                    return ts.stream_any_l(
+                        ch, lists, ov, o, d, t_max, skip_light,
+                        mult=max(3, meta.slot_mult_tight - 1),
+                        mult_wide=max(4, meta.slot_mult - 2),
+                        interpret=interp,
+                    )
                 words = ts.cross_words(ch, o, d, t_max, interpret=interp)
-                bw = tb.bundle_words(words, meta.bun_any)
-                return tb.bundles_any_w(
-                    ch, bw, o, d, t_max, skip_light, C=meta.c_any,
-                    mult=4 * max(3, meta.slot_mult_tight - 1),
-                    mult_wide=4 * max(4, meta.slot_mult - 2) + 4,
-                    interpret=interp, bun=meta.bun_any,
+                return ts.stream_any_w(
+                    ch, words, o, d, t_max, skip_light,
+                    mult=max(3, meta.slot_mult_tight - 1),
+                    mult_wide=max(4, meta.slot_mult - 2),
+                    interpret=interp,
                 )
 
             occ_s, ov, ok = jax.lax.cond(
