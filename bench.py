@@ -22,7 +22,8 @@ import time
 import numpy as np
 
 
-def bench_scene(scene, cam_params, res, spp, max_depth, wave_tiles=1024):
+def bench_scene(scene, cam_params, res, spp, max_depth, wave_tiles=1024,
+                samples_per_launch=1):
     import jax
     import jax.numpy as jnp
 
@@ -37,8 +38,12 @@ def bench_scene(scene, cam_params, res, spp, max_depth, wave_tiles=1024):
     sampler = UniformSampler(1)
     fs = FilmSettings(res=res, tile_dim=16)
     tiles = film_tiles(fs)
+    spl = max(1, min(samples_per_launch, spp))
+    while spp % spl:
+        spl -= 1
     render = make_wave_renderer(
-        scene, camera, sampler, PathParams(max_depth=max_depth), 16, wave_tiles
+        scene, camera, sampler, PathParams(max_depth=max_depth), 16,
+        wave_tiles, samples_per_launch=spl,
     )
 
     waves = []
@@ -57,7 +62,7 @@ def bench_scene(scene, cam_params, res, spp, max_depth, wave_tiles=1024):
 
     t0 = time.monotonic()
     total_rays = jnp.float32(0.0)
-    for s in range(spp):
+    for s in range(0, spp, spl):
         for origins in waves:
             px, rays = render(origins, jnp.int32(s), jnp.uint32(1))
             # Accumulate on device; a float() here would force a host sync
@@ -150,8 +155,13 @@ def main():
     scene_c, cam_c, _ = cornell()
     # Dense-mode waves amortize best large (wave_size_sweep: 33 Mrays/s at
     # 4096 tiles vs 1.5 at 256).
+    # samples_per_launch=4 folds the whole 4-spp pass over each wave into
+    # one dispatch: the fixed ~25 ms tunnel round trip per dispatch is
+    # comparable to Cornell's per-sample wave work, so batching it 4x is
+    # ~1.3x e2e (benchmarks/r3_dispatch_latency.py).
     cornell_stats = bench_scene(scene_c, cam_c, (1920, 1080), spp=4,
-                                max_depth=5, wave_tiles=4096)
+                                max_depth=5, wave_tiles=4096,
+                                samples_per_launch=4)
 
     scene_l, cam_l, _ = colonnade()
     colonnade_stats = bench_scene(

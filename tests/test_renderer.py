@@ -129,6 +129,61 @@ class TestRenderer:
         assert np.array_equal(imgs[0], imgs[1])
 
 
+class TestSampleBatching:
+    def test_samples_per_launch_bitwise(self, scene_and_cam):
+        """A samples_per_launch=S dispatch returns the exact SUM of the S
+        single-sample dispatches (the stateless seeking sampler hashes
+        (pixel, sample_index), so batching cannot change any sample)."""
+        import jax.numpy as jnp
+
+        from yuki_tpu.camera import Camera
+        from yuki_tpu.renderer import make_wave_renderer
+
+        scene, cam = scene_and_cam
+        camera = Camera.create(cam, 64, 48)
+        sampler = UniformSampler(1)
+        origins = jnp.asarray([[0, 0], [16, 16], [32, 32]], jnp.int32)
+
+        single = make_wave_renderer(
+            scene, camera, sampler, PathParams(2), 16, 3,
+        )
+        batched = make_wave_renderer(
+            scene, camera, sampler, PathParams(2), 16, 3,
+            samples_per_launch=4,
+        )
+        acc = None
+        rays_sum = 0.0
+        for s in range(4):
+            px, r = single(origins, jnp.int32(s), jnp.uint32(7))
+            acc = px if acc is None else acc + px
+            rays_sum += float(r)
+        px_b, r_b = batched(origins, jnp.int32(0), jnp.uint32(7))
+        assert np.allclose(np.asarray(px_b), np.asarray(acc), atol=1e-6)
+        assert float(r_b) == rays_sum
+
+    def test_render_job_samples_per_launch(self, scene_and_cam):
+        """Non-accumulate render with samples_per_launch>1 produces the
+        same film as the per-sample loop (single-device path)."""
+        import jax
+
+        if len(jax.devices()) > 1:
+            pytest.skip("single-device batching path only")
+        scene, cam = scene_and_cam
+        fs = FilmSettings(res=(32, 32), tile_dim=16)
+        imgs = []
+        for spl in (1, 2):
+            film = film_or_new(None, fs)
+            r = Renderer()
+            r.launch(scene, cam, film, UniformSampler(4), PathParams(2), fs,
+                     RenderSettings(wave_tiles=2, samples_per_launch=spl),
+                     match_seed=3)
+            msgs = run_to_completion(r)
+            assert isinstance(msgs[-1], RenderFinished)
+            imgs.append(film.image())
+            r.kill()
+        assert np.allclose(imgs[0], imgs[1], atol=1e-6)
+
+
 class TestMultiDevice:
     def test_renderer_uses_all_devices(self, scene_and_cam):
         """On the 8-virtual-device CPU mesh the render manager shards waves

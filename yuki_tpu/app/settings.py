@@ -128,6 +128,7 @@ def load_settings(path: Optional[str]) -> InitialSettings:
                 rs.get("use_single_render_thread", False)
             ),
             wave_tiles=int(rs.get("wave_tiles", 256)),
+            samples_per_launch=int(rs.get("samples_per_launch", 1)),
         )
     if ls := raw.get("load_settings"):
         s.load_settings = SceneLoadSettings(
@@ -186,6 +187,7 @@ def save_settings(s: InitialSettings, path: str) -> None:
             "mark_tiles": s.render_settings.mark_tiles,
             "use_single_render_thread": s.render_settings.use_single_render_thread,
             "wave_tiles": s.render_settings.wave_tiles,
+            "samples_per_launch": s.render_settings.samples_per_launch,
         },
         "load_settings": {
             "path": s.load_settings.path,

@@ -45,6 +45,11 @@ class RenderSettings:
     mark_tiles: bool = False
     use_single_render_thread: bool = False
     wave_tiles: int = 256  # tiles per device dispatch
+    # Sample generations folded into one dispatch (non-accumulate mode
+    # only; accumulate shows per-sample progress by design).  Amortizes
+    # the fixed per-dispatch cost for dense scenes; the wave loop clamps
+    # it to the remaining spp.
+    samples_per_launch: int = 1
 
 
 IntegratorConfig = Union[
@@ -59,6 +64,7 @@ def make_wave_renderer(
     integrator: IntegratorConfig,
     tile_dim: int,
     wave_tiles: int,
+    samples_per_launch: int = 1,
 ):
     """Build the jitted per-wave render step.
 
@@ -66,6 +72,14 @@ def make_wave_renderer(
       -> (pixels [B,td,td,3] f32, rays i64-ish f32 scalar).
     Mirrors Integrator::render's per-pixel loop (integrators/mod.rs:119-185)
     flattened into one wavefront: every lane is one pixel sample.
+
+    samples_per_launch > 1 runs that many consecutive sample generations
+    (sample_index .. +S-1) inside ONE dispatch, returning their pixel SUM
+    (divide by S for the mean).  Every dispatch pays a fixed tunnel round
+    trip (~25 ms measured on the axon backend — benchmarks/
+    r3_dispatch_latency.py), so dense-scene waves whose per-sample work
+    is comparable to that fixed cost amortize it S-fold.  Matches the
+    sharded renderer's samples_per_launch (parallel/__init__.py).
     """
     td = tile_dim
     data = scene.data
@@ -76,7 +90,7 @@ def make_wave_renderer(
     # and the chunk + treelet triangle tables alone exceed its request
     # size limit on large scenes (HTTP 413).  Passing the pytree keeps
     # the payload small and the arrays device-resident across calls.
-    def render_wave(data, origins, sample_index, seed):
+    def render_one(data, origins, sample_index, seed):
         b = origins.shape[0]
         iy, ix = jnp.meshgrid(
             jnp.arange(td, dtype=jnp.int32),
@@ -107,6 +121,16 @@ def make_wave_renderer(
             raise ValueError(f"unknown integrator {integrator!r}")
         pixels = res.li.reshape(b, td, td, 3)
         rays = jnp.sum(res.ray_count.astype(jnp.float32))
+        return pixels, rays
+
+    def render_wave(data, origins, sample_index, seed):
+        pixels, rays = render_one(data, origins, sample_index, seed)
+        for k in range(1, samples_per_launch):
+            p_k, r_k = render_one(
+                data, origins, sample_index + jnp.int32(k), seed
+            )
+            pixels = pixels + p_k
+            rays = rays + r_k
         return pixels, rays
 
     jitted = jax.jit(render_wave)
@@ -277,9 +301,18 @@ def _render_job_inner(
         def render_fn(origins, sample_index, seed):
             return sharded(origins, jnp.int32(sample_index), seed)
 
+        spl = 1
     else:
+        # Clamp the launch batch to spp and only batch when every launch
+        # is full (spp % spl == 0 keeps the averaging exact).
+        spl = max(1, min(render_settings.samples_per_launch, spp))
+        while spp % spl:
+            spl -= 1
+        if film_settings.accumulate or isinstance(integrator, str):
+            spl = 1
         render_fn = make_wave_renderer(
-            scene, camera, sampler, integrator, td, wave_tiles
+            scene, camera, sampler, integrator, td, wave_tiles,
+            samples_per_launch=spl,
         )
 
     start = time.monotonic()
@@ -347,10 +380,12 @@ def _render_job_inner(
                 report(wave_rays, time.monotonic() - t0, len(wave))
             else:
                 acc = None
-                for s in range(spp):
+                for s in range(0, spp, spl):
                     if cancel.is_set():
                         return
                     t0 = time.monotonic()
+                    # render_fn returns the SUM over spl consecutive
+                    # sample generations (one dispatch).
                     px, rays = render_fn(
                         jnp.asarray(origins), jnp.int32(s), jnp.uint32(seed)
                     )
@@ -359,7 +394,8 @@ def _render_job_inner(
                     total_rays += int(sample_rays)
                     # Per-sample progress: parity with the reference's
                     # per-sample tile generations (render_manager.rs:283-317).
-                    report(sample_rays, time.monotonic() - t0, len(wave))
+                    report(sample_rays, time.monotonic() - t0,
+                           len(wave) * spl)
                 # One generation holding the spp-sample *average* so the
                 # film's count-normalize yields the reference's mean.
                 if film.generation == film_generation:
