@@ -21,15 +21,11 @@ TD = 16
 
 
 def timed(label, fn, *args, reps=3):
-    import jax
+    # block_until_ready on array outputs does not drain the axon queue;
+    # use the host-fetch protocol (benchmarks/_timing.py).
+    from _timing import drained
 
-    out = jax.block_until_ready(fn(*args))
-    t0 = time.monotonic()
-    for _ in range(reps):
-        out = jax.block_until_ready(fn(*args))
-    dt = (time.monotonic() - t0) / reps
-    print(f"  {label}: {dt*1e3:.1f} ms", flush=True)
-    return dt
+    return drained(label, fn, *args, reps=reps)
 
 
 def profile_scene(name, scene, cam_params):

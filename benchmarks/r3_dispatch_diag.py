@@ -115,9 +115,15 @@ def diag(name, scene, cam_params):
         return traverse.any_intersect(data, meta, o, d, tm, skip)
 
     def timed(label, fn, *args):
-        out = jax.block_until_ready(fn(*args))
+        # Drain protocol: block_until_ready on arrays does not block here
+        # (benchmarks/_timing.py) — fetch one element of the last leaf.
+        from _timing import _drain
+
+        out = fn(*args)
+        _drain(out)
         t0 = time.monotonic()
-        out = jax.block_until_ready(fn(*args))
+        out = fn(*args)
+        _drain(out)
         print(f"    {label}: {(time.monotonic()-t0)*1e3:.1f} ms",
               flush=True)
         return out
