@@ -69,10 +69,20 @@ C_WIDE = 128  # overflow pass width.  Sized ABOVE the worst measured
 # slow treelet fallback, so margin here is cheap insurance — the pass
 # runs on <= OV_CAP compacted rays, where extraction at C=128 is small.
 OV_CAP = 16384  # static mini-wave size for overflow rays
-OV_SMALL = 2048  # tight overflow tier: the wide pass costs ~50 ms at
-# OV_CAP (measured round 3) and runs whenever ANY ray of a wave
-# overflows C_MAIN, while typical waves overflow well under 1% — the
-# caller lax.conds to this 8x cheaper instantiation when it fits
+OV_MID = 8192  # middle overflow tier: atrium bounce waves overflow
+# ~6.8k rays EVERY bounce (r3_dispatch_diag on-chip) — above OV_SMALL,
+# well under OV_CAP — so without this tier they paid the full-cap wide
+# pass per bounce
+OV_SMALL = 2048  # tight overflow tier: typical colonnade waves overflow
+# well under 1%, so the caller lax.conds to the cheapest instantiation
+# that fits the actual overflow count
+WIDE_TIGHT_MULT = 40  # tight slot budget of the wide re-run: overflow
+# rays carry (C_MAIN, C_WIDE] candidates but their measured mean is far
+# below C_WIDE (colonnade primary-overflow mean ~20, atrium bounce max
+# 88), while mult=C_WIDE sized the pack/kernel/merge for EVERY ray at
+# full width — ~3x the slot rows the wave actually needs.  The tiered
+# budget (slot_layout demand -> lax.cond) spills to mult=C_WIDE only
+# when a wave genuinely demands it.
 
 
 def _safe_inv(dc):
@@ -949,14 +959,16 @@ def stream_closest_l(ch, lists, overflow, o, d, t_max, C: int = C_MAIN,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("C", "mult", "interpret")
+    jax.jit, static_argnames=("C", "mult", "mult_wide", "interpret")
 )
 def stream_closest(ch, shading_packed, o, d, t_max, C: int = C_MAIN,
-                   mult: int = 6, interpret: bool = False):
+                   mult: int = 6, mult_wide: int | None = None,
+                   interpret: bool = False):
     """Standalone slot-stream closest hit (computes words + bary)."""
     words = cross_words(ch, o, d, t_max)
     t, prim, overflow, ok = stream_closest_w(
-        ch, words, o, d, t_max, C=C, mult=mult, interpret=interpret
+        ch, words, o, d, t_max, C=C, mult=mult, mult_wide=mult_wide,
+        interpret=interpret,
     )
     b0, b1 = _recompute_bary(shading_packed, o, d, t, prim)
     return t, prim, b0, b1, overflow, ok
@@ -1034,13 +1046,14 @@ def stream_any_l(ch, lists, overflow, o, d, t_max, skip_light,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("C", "mult", "interpret")
+    jax.jit, static_argnames=("C", "mult", "mult_wide", "interpret")
 )
 def stream_any(ch, o, d, t_max, skip_light, C: int = C_MAIN,
-               mult: int = 5, interpret: bool = False):
+               mult: int = 5, mult_wide: int | None = None,
+               interpret: bool = False):
     """Standalone slot-stream occlusion (computes words internally)."""
     words = cross_words(ch, o, d, t_max)
     return stream_any_w(
         ch, words, o, d, t_max, skip_light, C=C, mult=mult,
-        interpret=interpret,
+        mult_wide=mult_wide, interpret=interpret,
     )

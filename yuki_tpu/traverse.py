@@ -440,7 +440,8 @@ def intersect(scene, meta, o, d, t_max, with_stats: bool = False):
                 def run(_):
                     t_w, p_w, _, _, ov2, ok2 = ts.stream_closest(
                         ch, sp, o2[:cap], d2[:cap], t2[:cap],
-                        C=ts.C_WIDE, mult=ts.C_WIDE, interpret=interp,
+                        C=ts.C_WIDE, mult=ts.WIDE_TIGHT_MULT,
+                        mult_wide=ts.C_WIDE, interpret=interp,
                     )
                     idxc, livec = idx[:cap], live[:cap]
                     return (
@@ -454,12 +455,19 @@ def intersect(scene, meta, o, d, t_max, with_stats: bool = False):
                 return run
 
             def run_wide(_):
-                # Tiered mini-wave: the wide pass costs ~50 ms at OV_CAP
-                # but typical waves overflow only a handful of rays.
+                # Tiered mini-wave: the wide pass is budget-proportional
+                # and typical waves overflow only a handful of rays —
+                # but atrium bounce waves overflow ~6.8k EVERY bounce
+                # (r3_dispatch_diag), hence the OV_MID tier.
                 return jax.lax.cond(
                     n_ov <= ts.OV_SMALL,
                     run_wide_cap(ts.OV_SMALL),
-                    run_wide_cap(ts.OV_CAP),
+                    lambda _: jax.lax.cond(
+                        n_ov <= ts.OV_MID,
+                        run_wide_cap(ts.OV_MID),
+                        run_wide_cap(ts.OV_CAP),
+                        None,
+                    ),
                     None,
                 )
 
@@ -591,8 +599,8 @@ def any_intersect(scene, meta, o, d, t_max, skip_light) -> jnp.ndarray:
                 def run(_):
                     occ_w, ov2, ok2 = ts.stream_any(
                         scene.chunks, o2[:cap], d2[:cap], t2[:cap],
-                        s2[:cap], C=ts.C_WIDE, mult=ts.C_WIDE,
-                        interpret=interp,
+                        s2[:cap], C=ts.C_WIDE, mult=ts.WIDE_TIGHT_MULT,
+                        mult_wide=ts.C_WIDE, interpret=interp,
                     )
                     idxc, livec = idx[:cap], live[:cap]
                     return (
@@ -607,7 +615,12 @@ def any_intersect(scene, meta, o, d, t_max, skip_light) -> jnp.ndarray:
                 return jax.lax.cond(
                     n_ov <= ts.OV_SMALL,
                     run_wide_cap(ts.OV_SMALL),
-                    run_wide_cap(ts.OV_CAP),
+                    lambda _: jax.lax.cond(
+                        n_ov <= ts.OV_MID,
+                        run_wide_cap(ts.OV_MID),
+                        run_wide_cap(ts.OV_CAP),
+                        None,
+                    ),
                     None,
                 )
 
