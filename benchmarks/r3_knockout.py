@@ -76,7 +76,7 @@ def profile(name, scene, cam_params, n_tiles):
     # Knockout: neutralize NEE occlusion (monkeypatch any_intersect).
     real_any = traverse.any_intersect
     traverse.any_intersect = (
-        lambda scene, meta, o, d, t_max, skip: jnp.zeros(
+        lambda scene, meta, o, d, t_max, skip, **kw: jnp.zeros(
             o.shape[0], bool)
     )
     try:
@@ -109,27 +109,34 @@ def profile(name, scene, cam_params, n_tiles):
 
 
 def main():
+    import os
+
     import jax
 
-    print(f"backend={jax.default_backend()}", flush=True)
-    from yuki_tpu.scene.testscenes import colonnade
-    from yuki_tpu.scene.cornell import cornell
+    scenes = os.environ.get("SCENES", "colonnade,cornell,atrium").split(",")
+    print(f"backend={jax.default_backend()} scenes={scenes}", flush=True)
 
-    scene, cam, _ = colonnade()
-    profile("colonnade", scene, cam, N_TILES)
+    if "colonnade" in scenes:
+        from yuki_tpu.scene.testscenes import colonnade
 
-    scene_c, cam_c, _ = cornell()
-    profile("cornell", scene_c, cam_c, 4096)
+        scene, cam, _ = colonnade()
+        profile("colonnade", scene, cam, N_TILES)
 
-    import os
-    import sys
+    if "cornell" in scenes:
+        from yuki_tpu.scene.cornell import cornell
 
-    sys.path.insert(0, os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))))
-    from bench import load_atrium
+        scene_c, cam_c, _ = cornell()
+        profile("cornell", scene_c, cam_c, 4096)
 
-    scene_a, cam_a, _ = load_atrium()
-    profile("atrium", scene_a, cam_a, N_TILES)
+    if "atrium" in scenes:
+        import sys
+
+        sys.path.insert(0, os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        from bench import load_atrium
+
+        scene_a, cam_a, _ = load_atrium()
+        profile("atrium", scene_a, cam_a, N_TILES)
     print("done", flush=True)
 
 

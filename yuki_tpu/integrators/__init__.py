@@ -73,7 +73,7 @@ class LiResult(NamedTuple):
 
 
 def _nee(scene, meta, sampler: Sampler, ctx: SampleCtx, si: Surface,
-         mp, dim, active):
+         mp, dim, active, skip_sort: bool = False):
     """Direct lighting summed over every scene light (the fold in
     path.rs:102-124 / whitted.rs:119-141).  ``dim`` may be a Python int or a
     traced i32 scalar. Returns (radiance, next_dim).
@@ -125,7 +125,9 @@ def _nee(scene, meta, sampler: Sampler, ctx: SampleCtx, si: Surface,
         t_b = jnp.concatenate([r[2].reshape(-1) for r in rays])
         s_b = jnp.concatenate([r[3].reshape(-1) for r in rays])
     with pass_scope("trace.occlusion"):
-        occ_b = traverse.any_intersect(scene, meta, o_b, d_b, t_b, s_b)
+        occ_b = traverse.any_intersect(
+            scene, meta, o_b, d_b, t_b, s_b, skip_sort=skip_sort
+        )
     if n_lights == 1:
         occs = [occ_b]
     else:
@@ -158,6 +160,17 @@ def path_li(scene, meta, params: PathParams, sampler: Sampler,
     n_lights = len(meta.light_types)
     dims_per_bounce = 2 * n_lights + 2 + 1
 
+    # Every bounce skips the coherence sort (traverse._sorted_call
+    # skip_sort): the engines are per-ray exact in any order, primary
+    # waves are film-ordered (16x16 tiles -> 16x8-pixel 128-ray rows,
+    # coherent enough that the dispatch probe still picks the rows
+    # branch), and divergent bounce waves always take the slot pipeline,
+    # which with the fused per-ray cull (ops/trace_cull.py) is
+    # order-independent — so the argsort + 3 gathers + unsort scatter
+    # per traversal call are pure overhead.  NOTE a bounce-0 peel was
+    # tried and REVERTED: calling the body once outside lax.scan changes
+    # XLA fusion/rounding in the shading math and shifted the Cornell
+    # golden by RMSE 5.6e-3 (round 3).
     def body(carry, bounce):
         o, d, beta, radiance, alive, specular_bounce, ray_count = carry
         dim0 = dim + bounce * dims_per_bounce
@@ -169,7 +182,9 @@ def path_li(scene, meta, params: PathParams, sampler: Sampler,
         # measured 939 ms vs ~30 ms for the 262k-ray bounce wave).
         t_max = jnp.where(alive, traverse.F32_MAX, 0.0)
         with pass_scope("trace.closest"):
-            hit = traverse.intersect(scene, meta, o, d, t_max)
+            hit = traverse.intersect(
+                scene, meta, o, d, t_max, skip_sort=True
+            )
 
         # Miss: background, terminate (path.rs:155-160).
         missed = alive & ~hit.hit
@@ -184,7 +199,8 @@ def path_li(scene, meta, params: PathParams, sampler: Sampler,
 
         with pass_scope("shade.nee"):
             bounce_radiance, dimn = _nee(
-                scene, meta, sampler, ctx, si, mp, dim0, alive
+                scene, meta, sampler, ctx, si, mp, dim0, alive,
+                skip_sort=True,
             )
 
         # Emitted on first/specular hit.  NOTE: the reference multiplies the

@@ -657,16 +657,56 @@ def build_slots(n: int, n_chunks: int, lists, C: int, max_rows: int):
     return slot_pos, row_chunk, valid, ok
 
 
-def _pack_stream(o, d, t_max, slot_ray, valid, max_rows):
+PACK_RPR = 4  # rays per pack-table row (1 = legacy [N,128] layout).
+# Row gathers are LATENCY-bound at ~15 ns/row from a [262144, 128]
+# table but ~6.7 ns/row once the table is <= [131072, 128]
+# (benchmarks/r3_packshapes.py) — packing 4 rays of 8 floats per row
+# keeps even a 524k-ray batched-NEE wave's table under the cliff, at
+# the cost of two masked lane-rolls on the gathered stream.
+
+
+def _pack_stream(o, d, t_max, slot_ray, valid, max_rows, extra=None):
     """Ray planes -> plane-major stream [max_rows*8, 128] via ONE wide
-    row-gather (the only fast gather shape on this chip): rays live in a
-    [N, 128] table (cols 0-2 o, 3-5 d, 6 t), slots gather whole rows."""
+    row-gather (the only fast gather shape on this chip): PACK_RPR rays
+    of 8 floats live per [*, 128] table row (o xyz, d xyz, t, extra);
+    slots gather whole rows and rotate their ray's 8-float block to the
+    front with log2(PACK_RPR) masked lane-rolls.  ``extra`` ([n] f32,
+    e.g. the occlusion skip-light plane) rides float 7."""
     n = o.shape[0]
-    ray_tab = jnp.concatenate(
-        [o, d, t_max[:, None], jnp.zeros((n, LANES - 7), o.dtype)], axis=1
-    )
+    rpr = PACK_RPR
+    p8 = jnp.concatenate(
+        [o, d, t_max[:, None],
+         (jnp.zeros((n, 1), o.dtype) if extra is None
+          else extra[:, None].astype(o.dtype))],
+        axis=1,
+    )  # [n, 8]
     flat_ray = jnp.where(valid, slot_ray, 0).reshape(-1)
-    stream = ray_tab[flat_ray][:, :8]  # [max_rows*128, 8]
+    if rpr == 1:
+        tab = jnp.concatenate(
+            [p8, jnp.zeros((n, LANES - 8), o.dtype)], axis=1
+        )
+        stream = tab[flat_ray][:, :8]  # [max_rows*128, 8]
+    else:
+        npad = -(-n // rpr) * rpr
+        if npad != n:
+            p8 = jnp.concatenate(
+                [p8, jnp.zeros((npad - n, 8), o.dtype)], axis=0
+            )
+        tab = p8.reshape(npad // rpr, rpr * 8)
+        if rpr * 8 < LANES:
+            tab = jnp.concatenate(
+                [tab, jnp.zeros((npad // rpr, LANES - rpr * 8), o.dtype)],
+                axis=1,
+            )
+        rows = tab[flat_ray // rpr]  # [slots, 128]
+        sh = (flat_ray % rpr) * 8
+        k = 3
+        while (1 << k) < rpr * 8:
+            amt = 1 << k
+            on = ((sh >> k) & 1)[:, None] == 1
+            rows = jnp.where(on, jnp.roll(rows, -amt, axis=1), rows)
+            k += 1
+        stream = rows[:, :8]
     planes = stream.reshape(max_rows, LANES, 8).transpose(0, 2, 1)
     # Dead lanes (invalid slots) carry t = -1.
     planes = planes.at[:, 6, :].set(
@@ -750,13 +790,12 @@ QUAD = 4  # slot rows per grid step: quadruple per-step compute so the
 # ~0.9 us/step pipeline stall at one row per step)
 
 
-def _closest_kernel(rc_ref, t0_ref, t1_ref, t2_ref, t3_ref, rp_ref,
-                    out_ref, *, leaf_size):
+def _closest_kernel(rc_ref, *refs, leaf_size, quad=QUAD):
     # Out sublanes per slot row: 0 = scaled ts, 1 = prim, 2 = det (> 0);
     # the caller divides ts/det ONCE per slot in XLA (closest_walk
     # docstring) instead of the kernel dividing every step.
-    tris = (t0_ref, t1_ref, t2_ref, t3_ref)
-    for i in range(QUAD):
+    tris, (rp_ref, out_ref) = refs[:quad], refs[quad:]
+    for i in range(quad):
         b = 8 * i
         ox = rp_ref[b : b + 1, :]
         oy = rp_ref[b + 1 : b + 2, :]
@@ -785,10 +824,9 @@ def _closest_kernel(rc_ref, t0_ref, t1_ref, t2_ref, t3_ref, rp_ref,
             out_ref[b + 2 : b + 3, :] = det_b
 
 
-def _any_kernel(rc_ref, t0_ref, t1_ref, t2_ref, t3_ref, rp_ref, occ_ref,
-                *, leaf_size):
-    tris = (t0_ref, t1_ref, t2_ref, t3_ref)
-    for i in range(QUAD):
+def _any_kernel(rc_ref, *refs, leaf_size, quad=QUAD):
+    tris, (rp_ref, occ_ref) = refs[:quad], refs[quad:]
+    for i in range(quad):
         b = 8 * i
         ox = rp_ref[b : b + 1, :]
         oy = rp_ref[b + 1 : b + 2, :]
@@ -822,27 +860,27 @@ def _max_rows(n: int, C: int, n_chunks: int, mult: int) -> int:
 
 
 def _run_kernel(kernel, ch, row_chunk, packed, max_rows, out_dtype,
-                interpret):
+                interpret, quad: int = QUAD):
     k = ch.leaf_size
 
     def tri_spec(i):
         return pl.BlockSpec(
-            (k, 128), lambda p, rc, i=i: (rc[QUAD * p + i], 0)
+            (k, 128), lambda p, rc, i=i: (rc[quad * p + i], 0)
         )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(max_rows // QUAD,),
-        in_specs=[tri_spec(i) for i in range(QUAD)]
-        + [pl.BlockSpec((8 * QUAD, LANES), lambda p, rc: (p, 0))],
-        out_specs=[pl.BlockSpec((8 * QUAD, LANES), lambda p, rc: (p, 0))],
+        grid=(max_rows // quad,),
+        in_specs=[tri_spec(i) for i in range(quad)]
+        + [pl.BlockSpec((8 * quad, LANES), lambda p, rc: (p, 0))],
+        out_specs=[pl.BlockSpec((8 * quad, LANES), lambda p, rc: (p, 0))],
     )
     (out,) = pl.pallas_call(
-        functools.partial(kernel, leaf_size=k),
+        functools.partial(kernel, leaf_size=k, quad=quad),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((max_rows * 8, LANES), out_dtype)],
         interpret=interpret,
-    )(row_chunk, *([ch.tris_padded] * QUAD), packed)
+    )(row_chunk, *([ch.tris_padded] * quad), packed)
     return out.reshape(max_rows, 8, LANES)
 
 
@@ -880,7 +918,7 @@ def stream_closest_w(ch, words, o, d, t_max, C: int = C_MAIN,
 
 def stream_closest_l(ch, lists, overflow, o, d, t_max, C: int = C_MAIN,
                      mult: int = 6, mult_wide: int | None = None,
-                     interpret: bool = False):
+                     interpret: bool = False, quad: int = QUAD):
     """Closest hit over the exact incidence stream, from extracted
     candidate lists [N, C] (-1 pad, ascending chunk id).
 
@@ -911,7 +949,7 @@ def stream_closest_l(ch, lists, overflow, o, d, t_max, C: int = C_MAIN,
             packed = _pack_stream(o, d, t_max, slot_ray, valid, max_rows)
             out = _run_kernel(
                 _closest_kernel, ch, row_chunk, packed, max_rows,
-                jnp.float32, interpret,
+                jnp.float32, interpret, quad=quad,
             )
 
             # ONE divide per slot resolves the scaled (ts, det) carry.
@@ -988,7 +1026,8 @@ def stream_any_w(ch, words, o, d, t_max, skip_light, C: int = C_MAIN,
 
 def stream_any_l(ch, lists, overflow, o, d, t_max, skip_light,
                  C: int = C_MAIN, mult: int = 5,
-                 mult_wide: int | None = None, interpret: bool = False):
+                 mult_wide: int | None = None, interpret: bool = False,
+                 quad: int = QUAD):
     """Occlusion over the exact incidence stream, from extracted candidate
     lists.  Returns (occluded, overflow, ok); overflow rays may report
     unoccluded falsely and must be re-checked by the caller.  Tiered
@@ -998,30 +1037,21 @@ def stream_any_l(ch, lists, overflow, o, d, t_max, skip_light,
 
     pos_s, seg, aligned_off, total_slots = slot_layout(n, n_c, lists, C)
 
-    # skip plane rides the 8th sublane of the ray table.
-    ray_tab = jnp.concatenate(
-        [o, d, t_max[:, None], skip_light.astype(jnp.float32)[:, None],
-         jnp.zeros((n, LANES - 8), o.dtype)],
-        axis=1,
-    )
-
     def tier(max_rows):
         def run(_):
             slot_pos, row_chunk, valid = slot_fill(
                 n, n_c, pos_s, seg, aligned_off, C, max_rows
             )
             slot_ray = jnp.where(valid, slot_pos // C, 0)
-            flat_ray = jnp.where(valid, slot_ray, 0).reshape(-1)
-            stream = ray_tab[flat_ray][:, :8]
-            planes = stream.reshape(max_rows, LANES, 8).transpose(0, 2, 1)
-            planes = planes.at[:, 6, :].set(
-                jnp.where(valid, planes[:, 6, :], -1.0)
+            # skip plane rides float 7 of the pack.
+            packed = _pack_stream(
+                o, d, t_max, slot_ray, valid, max_rows,
+                extra=skip_light.astype(jnp.float32),
             )
-            packed = planes.reshape(max_rows * 8, LANES)
 
             occ = _run_kernel(
                 _any_kernel, ch, row_chunk, packed, max_rows, jnp.int32,
-                interpret,
+                interpret, quad=quad,
             )
             occ_slot = (occ[:, 0, :] > 0) & valid
             bucket = jnp.where(occ_slot, slot_ray, n).reshape(-1)

@@ -316,8 +316,18 @@ def _pad128(scene, o, d, t_max, *extras):
     return out
 
 
-def _sorted_call(scene, o, d, t_max, extra, fn):
+def _sorted_call(scene, o, d, t_max, extra, fn, skip_sort: bool = False):
     """Sort rays by coherence key, call fn on the sorted SoA, unsort.
+
+    ``skip_sort`` runs fn on the natural ray order: with the fused
+    per-ray exact cull (ops/trace_cull.py) the DIVERGENT slot pipeline
+    is order-independent (per-ray lists, chunk-major slot sort, per-ray
+    merge — bitwise-identical results either way), so bounce waves,
+    which always dispatch to the slot branch (measured probe 114-1267
+    pairs/row, r3_dispatch_diag), can skip the argsort + 3 gathers + 1
+    unsort scatter entirely.  The dispatch probe still runs: a wave
+    that IS coherent in natural order (e.g. specular bounces in film
+    order) still takes the rows branch.
 
     Load-bearing for every treelet-path query (round-3 finding: the
     integrators hand over UNSORTED bounce/shadow waves, but the whole
@@ -327,6 +337,8 @@ def _sorted_call(scene, o, d, t_max, extra, fn):
     shadow waves only take the cheap rows branch at all when sorted).
     Cost: one u32 argsort + two gathers + one inverse gather, ~5 ms at
     262k — repaid ~10x by the cull tightness it buys."""
+    if skip_sort:
+        return tuple(fn(o, d, t_max, extra))
     n = o.shape[0]
     order = jnp.argsort(ray_sort_key(scene, o, d))
     o_s, d_s, t_s = o[order], d[order], t_max[order]
@@ -342,11 +354,15 @@ def _sorted_call(scene, o, d, t_max, extra, fn):
     return tuple(x[inv] if x.ndim else x for x in outs)
 
 
-def intersect(scene, meta, o, d, t_max, with_stats: bool = False):
+def intersect(scene, meta, o, d, t_max, with_stats: bool = False,
+              skip_sort: bool = False):
     """Full scene closest hit: triangles (dense sweep or threaded BVH,
     chosen statically by the scene builder) + brute-force spheres
     (divergence from the reference, which BVHs spheres too — see
-    scene/data.py docstring). Returns SceneHit[, steps]."""
+    scene/data.py docstring). Returns SceneHit[, steps].
+
+    ``skip_sort``: see _sorted_call — bounce waves skip the coherence
+    sort (slot pipeline is order-independent; bitwise-same results)."""
     if meta.traversal == "dense" and not with_stats:
         t, prim, b0, b1 = intersect_dense(scene, o, d, t_max)
     elif meta.traversal == "treelet" and not with_stats and _use_pallas():
@@ -406,13 +422,17 @@ def intersect(scene, meta, o, d, t_max, with_stats: bool = False):
                         bun=meta.bun_closest,
                     )
                 if ch.n_treelets >= ts.CROSS_2L_MIN_CHUNKS:
-                    # Two-level exact cull: O(words + true incidence)
-                    # per ray instead of O(total chunks) — the atrium
-                    # scaling fix (VERDICT r2 weak #2).  Word-overflow
-                    # rays fold into the existing wide re-run, whose
-                    # dense cross is exact at any incidence.
-                    lists, ov = ts.candidate_lists_2l(
-                        ch, o, d, t_max, ts.C_MAIN
+                    # Fused two-level exact cull (ops/trace_cull.py):
+                    # O(words + true incidence) per ray AND zero HBM
+                    # intermediates — the XLA 2L build streamed [N, W]
+                    # one-hot/slab matrices per stage (the dominant
+                    # per-call term, r3_stage2.py).  Word-overflow rays
+                    # fold into the existing wide re-run, whose dense
+                    # cross is exact at any incidence.
+                    from .ops.trace_cull import candidate_lists_fused
+
+                    lists, ov = candidate_lists_fused(
+                        ch, o, d, t_max, ts.C_MAIN, interpret=interp
                     )
                     return ts.stream_closest_l(
                         ch, lists, ov, o, d, t_max,
@@ -488,7 +508,9 @@ def intersect(scene, meta, o, d, t_max, with_stats: bool = False):
             )
             return t[:n0], prim[:n0], b0[:n0], b1[:n0]
 
-        t, prim, b0, b1 = _sorted_call(scene, o, d, t_max, None, run_sorted)
+        t, prim, b0, b1 = _sorted_call(
+            scene, o, d, t_max, None, run_sorted, skip_sort=skip_sort
+        )
     else:
         res = intersect_bvh(scene, o, d, t_max, meta.bvh_max_leaf, with_stats)
         if with_stats:
@@ -510,12 +532,14 @@ def intersect(scene, meta, o, d, t_max, with_stats: bool = False):
     return out
 
 
-def any_intersect(scene, meta, o, d, t_max, skip_light) -> jnp.ndarray:
+def any_intersect(scene, meta, o, d, t_max, skip_light,
+                  skip_sort: bool = False) -> jnp.ndarray:
     """Occlusion query (bvh.rs any_intersect).
 
     skip_light: [N] i32 — triangles whose area_light id equals this lane's
     value are ignored (the reference skips the sampled light by pointer
     identity, bvh.rs:287-293).
+    ``skip_sort``: see _sorted_call (divergent-wave fast path).
     Returns occluded mask [N] bool.
     """
     if meta.traversal == "dense":
@@ -567,9 +591,11 @@ def any_intersect(scene, meta, o, d, t_max, skip_light) -> jnp.ndarray:
                         interpret=interp, bun=meta.bun_any,
                     )
                 if ch.n_treelets >= ts.CROSS_2L_MIN_CHUNKS:
-                    # Two-level exact cull (see intersect above).
-                    lists, ov = ts.candidate_lists_2l(
-                        ch, o, d, t_max, ts.C_MAIN
+                    # Fused two-level exact cull (see intersect above).
+                    from .ops.trace_cull import candidate_lists_fused
+
+                    lists, ov = candidate_lists_fused(
+                        ch, o, d, t_max, ts.C_MAIN, interpret=interp
                     )
                     return ts.stream_any_l(
                         ch, lists, ov, o, d, t_max, skip_light,
@@ -638,7 +664,9 @@ def any_intersect(scene, meta, o, d, t_max, skip_light) -> jnp.ndarray:
             )
             return (occ[:n0],)
 
-        (occ,) = _sorted_call(scene, o, d, t_max, skip_light, run_sorted)
+        (occ,) = _sorted_call(
+            scene, o, d, t_max, skip_light, run_sorted, skip_sort=skip_sort
+        )
         sh = ray_spheres(o, d, t_max, scene.spheres)
         return occ | sh.hit
     max_leaf = meta.bvh_max_leaf
