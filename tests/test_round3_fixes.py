@@ -124,3 +124,40 @@ def test_distant_light_segment_covers_full_diagonal():
     diag = float(jnp.linalg.norm(data.world_hi - data.world_lo))
     scaled = diag * 1.002 + 1e-3
     assert scaled * 0.9999 > diag
+
+
+class TestRowsDispatchCapacity:
+    """Advisor round-2 low #4: the rows-branch dispatch must gate on the
+    engine's QUAD-aligned pair demand, not the raw popcount mean — a
+    near-threshold wave otherwise overflows the cap, flags every ray,
+    and dumps the whole wave on the slow fallback."""
+
+    def test_demand_counts_alignment_forced_and_clamp(self):
+        import numpy as np
+        import jax.numpy as jnp
+
+        from yuki_tpu import traverse
+        from yuki_tpu.ops.trace_rows import QUAD
+
+        w = np.zeros((3, 7), np.int32)
+        w[1, 0] = 0b11111  # 5 pairs -> padded to 8
+        w[2, :] = -1  # 224 pairs -> clamped to _ROWS_C (96)
+        demand = int(traverse._rows_demand(jnp.asarray(w)))
+        assert demand == QUAD + 8 + traverse._ROWS_C
+
+    def test_demand_never_exceeds_engine_cap_when_dispatched(self):
+        # The dispatch predicate (demand <= rows * _ROWS_MULT) implies
+        # n_pairs <= cap in rows_closest_w: cap rounds mult*rows UP.
+        import numpy as np
+        import jax.numpy as jnp
+
+        from yuki_tpu import traverse
+        from yuki_tpu.ops.trace_rows import QUAD
+
+        rows = 16
+        rng = np.random.default_rng(0)
+        w = rng.integers(0, 2, (rows, 7), np.int32) * -1
+        demand = int(traverse._rows_demand(jnp.asarray(w)))
+        cap = -(-(traverse._ROWS_MULT * rows) // (2 * QUAD)) * 2 * QUAD
+        if demand <= rows * traverse._ROWS_MULT:
+            assert demand <= cap

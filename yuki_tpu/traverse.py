@@ -260,21 +260,39 @@ def _pair_capacity(n_rays: int) -> int:
 
 _Z_DIR = jnp.asarray([0.0, 0.0, 1.0])
 
-# Adaptive traversal dispatch: a wave whose average per-row CONSERVATIVE
-# (interval-cull) candidate count is at or below this threshold walks
+# Adaptive traversal dispatch: a wave whose per-row CONSERVATIVE
+# (interval-cull) candidate demand fits the rows-branch capacity walks
 # rows (coherent path); above it the per-ray slot stream wins.  The
 # dispatch probe is the O(rows x chunks) interval cull — 128x cheaper
 # than the exact per-ray cull, which only the slot branch needs (and now
 # computes inside the branch).  Measured interval counts/row on the
 # colonnade (benchmarks/interval_rows.py): primary 7.1 (exact 6.9),
-# shadow 14.8 (exact 6.5), bounce 272 (exact 76) — 32 separates cleanly
-# with headroom for batched-NEE shadow waves.
-_COHERENT_ROW_PAIRS = 32
+# shadow 14.8 (exact 6.5), bounce 272 (exact 76) — the capacity gate
+# separates cleanly with headroom for batched-NEE shadow waves.
 # Rows-branch budgets under interval words: extraction width C covers the
 # shadow p99 of 86 (<96); the pair budget covers the shadow MEAN of 14.8
 # + QUAD alignment + forced pairs for empty rows.
 _ROWS_C = 96
 _ROWS_MULT = 24
+
+
+def _rows_demand(row_words):
+    """EXACT pair demand the rows engine would allocate for this wave:
+    per-row popcount, clamped to the extraction width C (extract_lists
+    truncates beyond C — overflow rays re-run through the wide pass, so
+    capacity is only consumed up to C), floored at 1 (empty rows carry a
+    forced pair), padded to a QUAD multiple (trace_rows._row_pairs).
+    Gating the dispatch on THIS against the rows cap (instead of the raw
+    mean-pairs threshold the round-2 advisor flagged) makes near-
+    threshold waves take the rows branch only when they actually fit —
+    n_pairs > cap in the engine flags EVERY ray as overflow and dumps
+    the whole wave on the slow fallback."""
+    from .ops.trace_rows import QUAD as RQ
+
+    pc = jax.lax.population_count(row_words).sum(axis=-1)
+    pc = jnp.minimum(jnp.maximum(pc, 1), _ROWS_C)
+    aligned = -(-pc // RQ) * RQ
+    return aligned.sum().astype(jnp.int32)
 
 
 def _compact_indices(mask, cap: int):
@@ -388,10 +406,7 @@ def intersect(scene, meta, o, d, t_max, with_stats: bool = False,
             n = o.shape[0]
             rows = n // 128
             row_words = tr.row_words_interval(ch, o, d, t_max)
-            row_pairs = jax.lax.population_count(row_words).sum().astype(
-                jnp.int32
-            )
-            coherent = row_pairs <= rows * _COHERENT_ROW_PAIRS
+            coherent = _rows_demand(row_words) <= rows * _ROWS_MULT
 
             def rows_branch(_):
                 t_r, p_r, ov_r = tr.rows_closest_w(
@@ -566,10 +581,7 @@ def any_intersect(scene, meta, o, d, t_max, skip_light,
             n = o.shape[0]
             rows = n // 128
             row_words = tr.row_words_interval(ch, o, d, t_max)
-            row_pairs = jax.lax.population_count(row_words).sum().astype(
-                jnp.int32
-            )
-            coherent = row_pairs <= rows * _COHERENT_ROW_PAIRS
+            coherent = _rows_demand(row_words) <= rows * _ROWS_MULT
 
             def rows_branch(_):
                 occ_r, ov_r = tr.rows_any_w(
