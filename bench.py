@@ -146,6 +146,17 @@ def _device_watchdog(timeout_s: float = 600.0) -> bool:
 def main():
     import os
 
+    import jax
+
+    # Persistent compilation cache: remote compiles cost minutes; repeat
+    # runs of the same graphs (driver round-end, preview iterations)
+    # should pay them once.  Same default dir as yuki_tpu/__main__.py.
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("YUKI_TPU_CACHE",
+                       os.path.expanduser("~/.yuki_tpu_cache")),
+    )
+
     if os.environ.get("JAX_PLATFORMS", "axon") != "cpu" and not _device_watchdog():
         return
 

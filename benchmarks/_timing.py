@@ -9,7 +9,21 @@ a tiny slice of the LAST output — the device queue is FIFO, so the last
 result being fetchable means every rep finished.
 """
 
+import os
 import time
+
+
+def enable_compile_cache():
+    """Persistent compilation cache (same dir as the app/bench): repeat
+    benchmark runs of unchanged graphs skip the minutes-long remote
+    compile."""
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("YUKI_TPU_CACHE",
+                       os.path.expanduser("~/.yuki_tpu_cache")),
+    )
 
 
 def _drain(out):

@@ -61,48 +61,47 @@ def diag(name, scene, cam_params):
     o, d = camera.ray(p_film)
     t_max = jnp.full(n, traverse.F32_MAX)
 
-    from yuki_tpu.traverse import (
-        _COHERENT_ROW_PAIRS, _ROWS_MULT, ray_sort_key,
-    )
+    from yuki_tpu.traverse import _ROWS_MULT, _rows_demand, ray_sort_key
 
     @jax.jit
     def wave_stats(data, o, d, tm):
-        order = jnp.argsort(ray_sort_key(data, o, d))
-        o_s, d_s, t_s = o[order], d[order], tm[order]
+        # skip_sort production order: stats on the NATURAL wave.
         rows = n // 128
-        rw = trr.row_words_interval(ch, o_s, d_s, t_s)
-        row_pairs = jax.lax.population_count(rw).sum().astype(jnp.int32)
-        words = ts.cross_words(ch, o_s, d_s, t_s)
+        rw = trr.row_words_interval(ch, o, d, tm)
+        demand = _rows_demand(rw)
+        cnt_nz = jax.lax.population_count(rw).sum()
+        words = ts.cross_words(ch, o, d, tm)
         cnt = jax.lax.population_count(words).sum(axis=1)
-        bw = tb.bundle_words(words)
-        bcnt = jax.lax.population_count(bw).sum(axis=1)
-        lists, _ = ts.extract_lists(bw, tb.C_BUN)
-        _, _, _, total_b = tb.bundle_slot_layout(
-            n // 8, ch.n_treelets, lists, tb.C_BUN)
+        # Fused-cull overflow semantics: > C chunks or > S words.
+        nw = jax.lax.population_count(
+            (words != 0).astype(jnp.uint32)).sum(axis=1)
+        ov = (cnt > ts.C_MAIN) | (nw > ts.CROSS_S)
+        # True aligned slot demand (what the tier cond sees).
+        lists, _ = ts.extract_lists(words, ts.C_MAIN)
+        _, _, _, total_s = ts.slot_layout(n, ch.n_treelets, lists,
+                                          ts.C_MAIN)
         return (
-            (tm > 0).sum(), row_pairs, cnt.sum(), (cnt > ts.C_MAIN).sum(),
-            bcnt.sum(), (bcnt > tb.C_BUN).sum(), total_b,
+            (tm > 0).sum(), demand, cnt_nz, cnt.sum(), ov.sum(), total_s,
         )
 
     def report(tag, o, d, tm):
-        alive, rp, pairs, n_ov, bpairs, b_ov, total_b = map(
+        alive, demand, rp, pairs, n_ov, total_s = map(
             int, jax.block_until_ready(wave_stats(data, o, d, tm)))
         rows = n // 128
-        coh = rp <= rows * _COHERENT_ROW_PAIRS
-        n_b = n // 8
-        tight = tb._max_rows_b(n_b, tb.C_BUN, ch.n_treelets,
-                               4 * meta.slot_mult_tight) * tb.SPR
-        wide = tb._max_rows_b(n_b, tb.C_BUN, ch.n_treelets,
-                              4 * meta.slot_mult + 4) * tb.SPR
-        rows_cap = rows * _ROWS_MULT  # approx rows-branch pair budget
+        coh = demand <= rows * _ROWS_MULT
+        tight = ts._max_rows(n, ts.C_MAIN, ch.n_treelets,
+                             meta.slot_mult_tight) * 128
+        wide = ts._max_rows(n, ts.C_MAIN, ch.n_treelets,
+                            meta.slot_mult) * 128
         print(
-            f"  {tag}: alive={alive} | probe {rp/rows:.1f}/row "
-            f"-> {'ROWS' if coh else 'BUNDLE'} | rows-demand {rp} "
-            f"(cap~{rows_cap}) | bundle slots {total_b} "
-            f"tight={tight} wide={wide}"
-            f"{' SPILL' if total_b > tight else ''}"
-            f"{' BLOWN' if total_b > wide else ''} | ray-ov {n_ov} "
-            f"(OV_CAP {ts.OV_CAP}) bundle-ov {b_ov}",
+            f"  {tag}: alive={alive} | probe demand {demand} "
+            f"(cap {rows * _ROWS_MULT}) -> "
+            f"{'ROWS' if coh else 'SLOTS'} | exact pairs {pairs} "
+            f"({pairs/max(alive,1):.2f}/alive-ray) | slot demand "
+            f"{total_s} tight={tight} wide={wide}"
+            f"{' SPILL' if total_s > tight else ''}"
+            f"{' BLOWN' if total_s > wide else ''} | ray-ov {n_ov} "
+            f"(tiers {ts.OV_SMALL}/{ts.OV_MID}/{ts.OV_CAP})",
             flush=True,
         )
 
@@ -168,12 +167,9 @@ def report_batched(name, data, meta, ch, o, d, tm):
     import jax
     import jax.numpy as jnp
 
-    from yuki_tpu.ops import trace_bundles as tb
     from yuki_tpu.ops import trace_rows as trr
     from yuki_tpu.ops import trace_stream as ts
-    from yuki_tpu.traverse import (
-        _COHERENT_ROW_PAIRS, _ROWS_MULT, ray_sort_key,
-    )
+    from yuki_tpu.traverse import _ROWS_MULT, _rows_demand
 
     n = o.shape[0]
     pad = (-n) % 128
@@ -186,25 +182,34 @@ def report_batched(name, data, meta, ch, o, d, tm):
 
     @jax.jit
     def stats(data, o, d, tm):
-        order = jnp.argsort(ray_sort_key(data, o, d))
-        o_s, d_s, t_s = o[order], d[order], tm[order]
         rows = n // 128
-        rw = trr.row_words_interval(ch, o_s, d_s, t_s)
-        row_pairs = jax.lax.population_count(rw).sum().astype(jnp.int32)
-        words = ts.cross_words(ch, o_s, d_s, t_s)
+        rw = trr.row_words_interval(ch, o, d, tm)
+        demand = _rows_demand(rw)
+        words = ts.cross_words(ch, o, d, tm)
         cnt = jax.lax.population_count(words).sum(axis=1)
-        bw = tb.bundle_words(words)
-        bcnt = jax.lax.population_count(bw).sum(axis=1)
-        return (tm > 0).sum(), row_pairs, (cnt > ts.C_MAIN).sum(), bcnt.sum()
+        nw = jax.lax.population_count(
+            (words != 0).astype(jnp.uint32)).sum(axis=1)
+        ov = (cnt > ts.C_MAIN) | (nw > ts.CROSS_S)
+        lists, _ = ts.extract_lists(words, ts.C_MAIN)
+        _, _, _, total_s = ts.slot_layout(n, ch.n_treelets, lists,
+                                          ts.C_MAIN)
+        return (tm > 0).sum(), demand, cnt.sum(), ov.sum(), total_s
 
-    alive, rp, n_ov, bpairs = map(int, jax.block_until_ready(
+    alive, demand, pairs, n_ov, total_s = map(int, jax.block_until_ready(
         stats(data, o, d, tm)))
     rows = n // 128
-    coh = rp <= rows * _COHERENT_ROW_PAIRS
+    coh = demand <= rows * _ROWS_MULT
+    tight = ts._max_rows(n, ts.C_MAIN, ch.n_treelets,
+                         max(3, meta.slot_mult_tight - 1)) * 128
+    wide = ts._max_rows(n, ts.C_MAIN, ch.n_treelets,
+                        max(4, meta.slot_mult - 2)) * 128
     print(
-        f"    shadow: alive={alive} probe {rp/rows:.1f}/row -> "
-        f"{'ROWS' if coh else 'BUNDLE'} | rows-demand {rp} "
-        f"(cap~{rows*_ROWS_MULT}) | ray-ov {n_ov} bundle-pairs {bpairs}",
+        f"    shadow: alive={alive} demand {demand} "
+        f"(cap {rows*_ROWS_MULT}) -> {'ROWS' if coh else 'SLOTS'} | "
+        f"exact pairs {pairs} ({pairs/max(alive,1):.2f}/alive-ray) | "
+        f"slot demand {total_s} tight={tight} wide={wide}"
+        f"{' SPILL' if total_s > tight else ''}"
+        f"{' BLOWN' if total_s > wide else ''} | ray-ov {n_ov}",
         flush=True,
     )
 
