@@ -79,7 +79,7 @@ def main():
     ss = t0 - ns * jnp.sum(t0 * ns, axis=1, keepdims=True)
     ss = ss / jnp.linalg.norm(ss, axis=1, keepdims=True)
     wo = jnp.asarray(unit(N))
-    nmat = int(np.asarray(sc.data.mat_mtype).shape[0])
+    nmat = int(np.asarray(sc.data.materials.packed).shape[0])
     si = Surface(
         valid=jnp.ones(N, bool),
         p=jnp.asarray(rng.random((N, 3), np.float32)),

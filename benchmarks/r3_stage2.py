@@ -107,6 +107,7 @@ def stage_slot_closest(name, scene, o, d, t_max):
     from yuki_tpu import traverse
     from yuki_tpu.ops import trace_rows as trr
     from yuki_tpu.ops import trace_stream as ts
+    from yuki_tpu.ops.trace_cull import candidate_lists_fused as _clf
 
     data, meta = scene.data, scene.meta
     ch = data.chunks
@@ -145,14 +146,14 @@ def stage_slot_closest(name, scene, o, d, t_max):
 
     def s_extract(o_s, d_s, t_s):
         if use_2l:
-            lists, ov = ts.candidate_lists_2l(ch, o_s, d_s, t_s, C)
+            lists, ov = _clf(ch, o_s, d_s, t_s, C)
         else:
             lists, ov = ts.candidate_lists(ch, o_s, d_s, t_s, C)
         return lists.sum()
 
     def lists_of(o_s, d_s, t_s):
         if use_2l:
-            return ts.candidate_lists_2l(ch, o_s, d_s, t_s, C)
+            return _clf(ch, o_s, d_s, t_s, C)
         return ts.candidate_lists(ch, o_s, d_s, t_s, C)
 
     def s_layout(o_s, d_s, t_s):
@@ -230,6 +231,7 @@ def stage_any(name, scene, o, d, t_max, skip):
     from yuki_tpu import traverse
     from yuki_tpu.ops import trace_rows as trr
     from yuki_tpu.ops import trace_stream as ts
+    from yuki_tpu.ops.trace_cull import candidate_lists_fused as _clf
 
     data, meta = scene.data, scene.meta
     ch = data.chunks
@@ -289,14 +291,14 @@ def stage_any(name, scene, o, d, t_max, skip):
     # slot branch prefixes
     def s_slot_extract(o_s, d_s, t_s, s_s):
         if use_2l:
-            lists, ov = ts.candidate_lists_2l(ch, o_s, d_s, t_s, ts.C_MAIN)
+            lists, ov = _clf(ch, o_s, d_s, t_s, ts.C_MAIN)
         else:
             lists, ov = ts.candidate_lists(ch, o_s, d_s, t_s, ts.C_MAIN)
         return lists.sum()
 
     def s_slot_full(o_s, d_s, t_s, s_s):
         if use_2l:
-            lists, ov = ts.candidate_lists_2l(ch, o_s, d_s, t_s, ts.C_MAIN)
+            lists, ov = _clf(ch, o_s, d_s, t_s, ts.C_MAIN)
         else:
             lists, ov = ts.candidate_lists(ch, o_s, d_s, t_s, ts.C_MAIN)
         occ, ovr, ok = ts.stream_any_l(

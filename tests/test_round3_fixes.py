@@ -141,7 +141,7 @@ class TestRowsDispatchCapacity:
 
         w = np.zeros((3, 7), np.int32)
         w[1, 0] = 0b11111  # 5 pairs -> padded to 8
-        w[2, :] = -1  # 224 pairs -> clamped to _ROWS_C (96)
+        w[2, :] = -1  # 224 pairs -> clamped to _ROWS_C
         demand = int(traverse._rows_demand(jnp.asarray(w)))
         assert demand == QUAD + 8 + traverse._ROWS_C
 

@@ -83,6 +83,12 @@ WIDE_TIGHT_MULT = 40  # tight slot budget of the wide re-run: overflow
 # full width — ~3x the slot rows the wave actually needs.  The tiered
 # budget (slot_layout demand -> lax.cond) spills to mult=C_WIDE only
 # when a wave genuinely demands it.
+WIDE_LOW_MULT = 8  # low tier of the wide re-run: ROWS-branch overflow
+# rays overflowed their 128-ray ROW'S union (>_ROWS_C), not their own
+# list — per-RAY incidence stays near the wave mean (~6 on colonnade
+# primaries), so the re-run's slot demand is tiny and the 40x budget
+# paid pack+kernel on ~700k dead slots (r3_dispatch_diag: b0 closest
+# 116 ms with an 8976-ray rows overflow spilling to the OV_CAP tier).
 
 
 def _safe_inv(dc):
@@ -859,6 +865,30 @@ def _max_rows(n: int, C: int, n_chunks: int, mult: int) -> int:
     return -(-slots // (8 * LANES)) * 8
 
 
+def _tier_mults(mult, mult_wide):
+    """Normalize (mult, mult_wide) into an ascending tier list: `mult`
+    may be an int or a tuple of ints (extra LOW tiers for the overflow
+    re-run, whose rows-branch-origin rays need ~1/5 the budget)."""
+    ms = list(mult) if isinstance(mult, (tuple, list)) else [mult]
+    if mult_wide is not None and mult_wide > ms[-1]:
+        ms.append(mult_wide)
+    return ms
+
+
+def _run_tiered(tier, tiers_rows, total_slots):
+    """Dispatch to the cheapest tier whose static budget covers the
+    wave's true aligned slot demand (nested lax.cond; budget-
+    proportional pack/kernel/merge run at the selected size only)."""
+    def pick(i):
+        if i == len(tiers_rows) - 1:
+            return tier(tiers_rows[i])
+        return lambda _: jax.lax.cond(
+            total_slots <= tiers_rows[i] * LANES,
+            tier(tiers_rows[i]), pick(i + 1), None,
+        )
+    return pick(0)(None)
+
+
 def _run_kernel(kernel, ch, row_chunk, packed, max_rows, out_dtype,
                 interpret, quad: int = QUAD):
     k = ch.leaf_size
@@ -984,15 +1014,9 @@ def stream_closest_l(ch, lists, overflow, o, d, t_max, C: int = C_MAIN,
             return t_out, prim
         return run
 
-    rows_a = _max_rows(n, C, n_c, mult)
-    ok_a = total_slots <= rows_a * LANES
-    if mult_wide is not None and mult_wide > mult:
-        rows_b = _max_rows(n, C, n_c, mult_wide)
-        ok = total_slots <= rows_b * LANES
-        t_out, prim = jax.lax.cond(ok_a, tier(rows_a), tier(rows_b), None)
-    else:
-        ok = ok_a
-        t_out, prim = tier(rows_a)(None)
+    tiers_rows = [_max_rows(n, C, n_c, m) for m in _tier_mults(mult, mult_wide)]
+    ok = total_slots <= tiers_rows[-1] * LANES
+    t_out, prim = _run_tiered(tier, tiers_rows, total_slots)
     return t_out, prim, overflow, ok
 
 
@@ -1063,15 +1087,9 @@ def stream_any_l(ch, lists, overflow, o, d, t_max, skip_light,
             return occ_ray[:n] > 0
         return run
 
-    rows_a = _max_rows(n, C, n_c, mult)
-    ok_a = total_slots <= rows_a * LANES
-    if mult_wide is not None and mult_wide > mult:
-        rows_b = _max_rows(n, C, n_c, mult_wide)
-        ok = total_slots <= rows_b * LANES
-        occ_out = jax.lax.cond(ok_a, tier(rows_a), tier(rows_b), None)
-    else:
-        ok = ok_a
-        occ_out = tier(rows_a)(None)
+    tiers_rows = [_max_rows(n, C, n_c, m) for m in _tier_mults(mult, mult_wide)]
+    ok = total_slots <= tiers_rows[-1] * LANES
+    occ_out = _run_tiered(tier, tiers_rows, total_slots)
     return occ_out, overflow, ok
 
 

@@ -272,7 +272,13 @@ _Z_DIR = jnp.asarray([0.0, 0.0, 1.0])
 # Rows-branch budgets under interval words: extraction width C covers the
 # shadow p99 of 86 (<96); the pair budget covers the shadow MEAN of 14.8
 # + QUAD alignment + forced pairs for empty rows.
-_ROWS_C = 96
+# Extraction width C: sized over the coherent-wave row-union TAIL, not
+# just the p99 — a row whose union exceeds C flags ALL 128 of its rays
+# overflow, and r3_dispatch_diag measured film-order primary waves
+# overflowing 8976 rays (70 rows) at C=96, each paying the wide re-run
+# every wave.  At 160 the extraction cost grows ~1.7x at wave-row scale
+# (trivial) and the heavy-row pairs land in the demand gate instead.
+_ROWS_C = 160
 _ROWS_MULT = 24
 
 
@@ -475,7 +481,8 @@ def intersect(scene, meta, o, d, t_max, with_stats: bool = False,
                 def run(_):
                     t_w, p_w, _, _, ov2, ok2 = ts.stream_closest(
                         ch, sp, o2[:cap], d2[:cap], t2[:cap],
-                        C=ts.C_WIDE, mult=ts.WIDE_TIGHT_MULT,
+                        C=ts.C_WIDE,
+                        mult=(ts.WIDE_LOW_MULT, ts.WIDE_TIGHT_MULT),
                         mult_wide=ts.C_WIDE, interpret=interp,
                     )
                     idxc, livec = idx[:cap], live[:cap]
@@ -626,6 +633,13 @@ def any_intersect(scene, meta, o, d, t_max, skip_light,
             occ_s, ov, ok = jax.lax.cond(
                 coherent, rows_branch, slot_branch, None
             )
+            # Occlusion is monotone in the candidate set: a truncated
+            # list that already found an occluder is FINAL (extra chunks
+            # can only add occluders) — only unoccluded overflow rays
+            # need the wide re-run.  Cuts the per-bounce overflow
+            # mini-wave population (whose slot layout has an
+            # n_chunks*128 padding floor — 504k slots on the atrium).
+            ov = ov & ~occ_s
             idx, n_ov = _compact_indices(ov, ts.OV_CAP)
             live = jnp.arange(ts.OV_CAP) < n_ov
             o2 = jnp.where(live[:, None], o[idx], 0.0)
@@ -637,7 +651,8 @@ def any_intersect(scene, meta, o, d, t_max, skip_light,
                 def run(_):
                     occ_w, ov2, ok2 = ts.stream_any(
                         scene.chunks, o2[:cap], d2[:cap], t2[:cap],
-                        s2[:cap], C=ts.C_WIDE, mult=ts.WIDE_TIGHT_MULT,
+                        s2[:cap], C=ts.C_WIDE,
+                        mult=(ts.WIDE_LOW_MULT, ts.WIDE_TIGHT_MULT),
                         mult_wide=ts.C_WIDE, interpret=interp,
                     )
                     idxc, livec = idx[:cap], live[:cap]
@@ -645,7 +660,9 @@ def any_intersect(scene, meta, o, d, t_max, skip_light,
                         occ_s.at[idxc].set(
                             jnp.where(livec, occ_w, occ_s[idxc]),
                             mode="drop"),
-                        ok2 & ~jnp.any(ov2 & livec),
+                        # Occluded verdicts are final even when the
+                        # wide list truncated (monotonicity, as above).
+                        ok2 & ~jnp.any(ov2 & livec & ~occ_w),
                     )
                 return run
 
