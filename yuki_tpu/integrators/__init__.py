@@ -72,22 +72,21 @@ class LiResult(NamedTuple):
     # path.rs:97 / whitted.rs:117)
 
 
-def _nee(scene, meta, sampler: Sampler, ctx: SampleCtx, si: Surface,
-         mp, dim, active, skip_sort: bool = False):
-    """Direct lighting summed over every scene light (the fold in
-    path.rs:102-124 / whitted.rs:119-141).  ``dim`` may be a Python int or a
-    traced i32 scalar. Returns (radiance, next_dim).
+def _nee_setup(scene, meta, sampler: Sampler, ctx: SampleCtx, si: Surface,
+               mp, dim, active):
+    """Build every light's NEE shadow ray + raw contribution (the
+    sampling/BSDF half of the fold in path.rs:102-124 / whitted.rs:119-141
+    — everything except the occlusion trace).  ``dim`` may be a Python int
+    or a traced i32 scalar.
 
-    All lights' shadow rays batch into ONE any_intersect call (round-3):
-    per-call fixed costs (coherence sort, adaptive dispatch, the
-    static-size overflow mini-wave) are paid once instead of per light,
-    and the denser combined wave sorts into tighter blocks (measured
-    round-2: bounce pairs/block fall ~35% when wave size doubles).
-    Contribution math is unchanged — same per-light samples, same
-    occlusion semantics as the reference's sequential fold."""
+    Returns (o_b, d_b, t_b, skip_b, worth_b, contribs, next_dim) with the
+    per-light rays flattened light-major into ONE [L*N] batch: per-call
+    fixed costs (adaptive dispatch, the static-size overflow mini-wave)
+    are paid once instead of per light (round-3), and path_li appends the
+    batch to its next-bounce wave for a single combined traversal.
+    contribs is the [L*N, 3] raw f*li*cos/pdf term (NO beta — the
+    indirect clamp applies before beta, path.rs:126-137)."""
     n_lights = len(meta.light_types)
-    if n_lights == 0:
-        return jnp.zeros_like(si.p), dim
     center = 0.5 * (scene.world_lo + scene.world_hi)
     contribs, worths, rays = [], [], []
     for li_idx, ltype in enumerate(meta.light_types):
@@ -116,32 +115,51 @@ def _nee(scene, meta, sampler: Sampler, ctx: SampleCtx, si: Surface,
         worths.append(worth)
         rays.append((o_s, d_s, t_s, skip))
 
-    shape = si.p.shape[:-1]
     if n_lights == 1:
         o_b, d_b, t_b, s_b = rays[0]
+        w_b, c_b = worths[0], contribs[0]
+        o_b, d_b, c_b = (o_b.reshape(-1, 3), d_b.reshape(-1, 3),
+                         c_b.reshape(-1, 3))
+        t_b, s_b, w_b = t_b.reshape(-1), s_b.reshape(-1), w_b.reshape(-1)
     else:
         o_b = jnp.concatenate([r[0].reshape(-1, 3) for r in rays])
         d_b = jnp.concatenate([r[1].reshape(-1, 3) for r in rays])
         t_b = jnp.concatenate([r[2].reshape(-1) for r in rays])
         s_b = jnp.concatenate([r[3].reshape(-1) for r in rays])
+        w_b = jnp.concatenate([w.reshape(-1) for w in worths])
+        c_b = jnp.concatenate([c.reshape(-1, 3) for c in contribs])
+    return o_b, d_b, t_b, s_b, w_b, c_b, dim
+
+
+def _nee_resolve(occ_b, worth_b, contrib_b, shape, n_lights):
+    """Occlusion verdicts -> summed direct lighting [*shape, 3] (the
+    accumulation half of the reference's per-light fold)."""
+    lit = (worth_b & ~occ_b)[..., None]
+    total = jnp.where(lit, contrib_b, 0.0).reshape(
+        (n_lights,) + shape + (3,)
+    ).sum(axis=0)
+    return total
+
+
+def _nee(scene, meta, sampler: Sampler, ctx: SampleCtx, si: Surface,
+         mp, dim, active, skip_sort: bool = False):
+    """Direct lighting summed over every scene light (the fold in
+    path.rs:102-124 / whitted.rs:119-141): _nee_setup + ONE batched
+    any_intersect + _nee_resolve.  Used by whitted_li and the debug-ray
+    walks; path_li instead defers the occlusion trace into its combined
+    next-bounce wave (see path_li)."""
+    n_lights = len(meta.light_types)
+    if n_lights == 0:
+        return jnp.zeros_like(si.p), dim
+    o_b, d_b, t_b, s_b, w_b, c_b, dim = _nee_setup(
+        scene, meta, sampler, ctx, si, mp, dim, active
+    )
     with pass_scope("trace.occlusion"):
         occ_b = traverse.any_intersect(
             scene, meta, o_b, d_b, t_b, s_b, skip_sort=skip_sort
         )
-    if n_lights == 1:
-        occs = [occ_b]
-    else:
-        occs = [
-            occ.reshape(shape)
-            for occ in jnp.split(occ_b, n_lights)
-        ]
-
-    total = jnp.zeros_like(si.p)
-    for worth, occluded, contrib in zip(worths, occs, contribs):
-        total = total + jnp.where(
-            (worth & ~occluded)[..., None], contrib, 0.0
-        )
-    return total, dim
+    shape = si.p.shape[:-1]
+    return _nee_resolve(occ_b, w_b, c_b, shape, n_lights), dim
 
 
 def path_li(scene, meta, params: PathParams, sampler: Sampler,
@@ -155,10 +173,30 @@ def path_li(scene, meta, params: PathParams, sampler: Sampler,
     reference, the RR dimension slot is reserved on every bounce — dimension
     *indices* differ from the reference past bounce 3 but every dimension is
     still an independent stateless-hash stream, so distributions match.
-    """
+
+    DEFERRED-NEE COMBINED TRACE (round 3): a bounce's NEE shadow rays and
+    the NEXT bounce's closest-hit ray all originate at the same surface
+    point, so each scan iteration traces them as ONE wave through
+    traverse.intersect with a per-lane skip-light plane (occluded ==
+    .hit for the shadow lanes).  This halves the traversal calls per wave
+    (one combined call per bounce vs closest + any) — the per-call fixed
+    costs (cull probe, adaptive dispatch, the static overflow mini-wave)
+    were measured at ~1/3 of every divergent call (r3_dispatch_diag) —
+    and compiles ONE traversal body per scan instead of two.  The NEE
+    verdict for bounce b therefore lands at iteration b+1: contributions,
+    the emit term, beta and alive snapshots ride the carry, and the scan
+    runs max_depth+1 iterations (the last drains pending shadows with
+    zero-length bounce rays; its shade stage is lax.cond-skipped).
+    Radiance math is the reference's exactly (same samples, same clamp
+    placement, same double-beta emit quirk, path.rs:102-178) — only the
+    accumulation ORDER shifts by one iteration."""
     shape = o.shape[:-1]
+    n = o.shape[0]
     n_lights = len(meta.light_types)
     dims_per_bounce = 2 * n_lights + 2 + 1
+    depth = params.max_depth
+    deferred = n_lights > 0
+    center = 0.5 * (scene.world_lo + scene.world_hi)
 
     # Every bounce skips the coherence sort (traverse._sorted_call
     # skip_sort): the engines are per-ray exact in any order, primary
@@ -167,93 +205,149 @@ def path_li(scene, meta, params: PathParams, sampler: Sampler,
     # branch), and divergent bounce waves always take the slot pipeline,
     # which with the fused per-ray cull (ops/trace_cull.py) is
     # order-independent — so the argsort + 3 gathers + unsort scatter
-    # per traversal call are pure overhead.  NOTE a bounce-0 peel was
-    # tried and REVERTED: calling the body once outside lax.scan changes
-    # XLA fusion/rounding in the shading math and shifted the Cornell
-    # golden by RMSE 5.6e-3 (round 3).
+    # per traversal call are pure overhead.
     def body(carry, bounce):
-        o, d, beta, radiance, alive, specular_bounce, ray_count = carry
+        if deferred:
+            (o, d, beta, radiance, alive, specular_bounce, ray_count,
+             po, pd_, pt, ps, pw, pc, pe, pb, pa) = carry
+        else:
+            (o, d, beta, radiance, alive, specular_bounce,
+             ray_count) = carry
         dim0 = dim + bounce * dims_per_bounce
 
-        ray_count = ray_count + alive.astype(jnp.int32)
-        # Dead lanes trace a zero-length benign ray (see _nee: their
-        # garbage origins would otherwise poison block culls and overflow
-        # the pair budget into the slow fallback walk every bounce —
-        # measured 939 ms vs ~30 ms for the 262k-ray bounce wave).
-        t_max = jnp.where(alive, traverse.F32_MAX, 0.0)
-        with pass_scope("trace.closest"):
-            hit = traverse.intersect(
-                scene, meta, o, d, t_max, skip_sort=True
+        tracing = alive & (bounce < depth)
+        ray_count = ray_count + tracing.astype(jnp.int32)
+        # Dead lanes trace a zero-length benign ray (see _nee_setup:
+        # their garbage origins would otherwise poison block culls and
+        # overflow the pair budget into the slow fallback walk every
+        # bounce — measured 939 ms vs ~30 ms for the 262k-ray wave).
+        t_max = jnp.where(tracing, traverse.F32_MAX, 0.0)
+        if deferred:
+            o_all = jnp.concatenate([o, po])
+            d_all = jnp.concatenate([d, pd_])
+            t_all = jnp.concatenate([t_max, pt])
+            s_all = jnp.concatenate([jnp.full(n, -2, jnp.int32), ps])
+            with pass_scope("trace.combined"):
+                hc = traverse.intersect(
+                    scene, meta, o_all, d_all, t_all, skip_sort=True,
+                    skip_light=s_all,
+                )
+            hit = traverse.SceneHit(*(x[:n] for x in hc))
+            occ_p = hc.hit[n:]
+            # Resolve the PREVIOUS bounce's deferred NEE: contribution
+            # sum + its emit term, clamped, weighted by its beta/alive
+            # snapshots (exactly path.rs:126-137, one iteration later).
+            prev_br = _nee_resolve(occ_p, pw, pc, shape, n_lights) + pe
+            if params.indirect_clamp is not None:
+                clamped = jnp.minimum(prev_br, params.indirect_clamp)
+                prev_br = jnp.where(bounce - 1 > 0, clamped, prev_br)
+            radiance = radiance + jnp.where(
+                pa[..., None], pb * prev_br, 0.0
             )
+        else:
+            with pass_scope("trace.closest"):
+                hit = traverse.intersect(
+                    scene, meta, o, d, t_max, skip_sort=True
+                )
 
         # Miss: background, terminate (path.rs:155-160).
-        missed = alive & ~hit.hit
+        missed = tracing & ~hit.hit
         radiance = radiance + jnp.where(
             missed[..., None], beta * scene.background, 0.0
         )
-        alive = alive & hit.hit
+        alive = tracing & hit.hit
 
-        with pass_scope("shade.surface"):
+        def shade(_):
             si = make_surface(scene, hit, o, d)
             mp = bsdf_mod.gather_materials(scene, si, meta)
 
-        with pass_scope("shade.nee"):
-            bounce_radiance, dimn = _nee(
-                scene, meta, sampler, ctx, si, mp, dim0, alive,
-                skip_sort=True,
-            )
+            if deferred:
+                no, nd, nt, ns, nw, nc, dimn = _nee_setup(
+                    scene, meta, sampler, ctx, si, mp, dim0, alive
+                )
+            else:
+                dimn = dim0
 
-        # Emitted on first/specular hit.  NOTE: the reference multiplies the
-        # emitted term by beta here AND the whole per-bounce radiance by beta
-        # below (path.rs:126-137); we reproduce that exactly for image parity.
-        emit_mask = specular_bounce | (bounce == 0)
-        emitted = lights_mod.area_light_radiance(scene, si, -d)
-        bounce_radiance = bounce_radiance + jnp.where(
-            emit_mask[..., None], beta * emitted, 0.0
-        )
+            # Emitted on first/specular hit.  NOTE: the reference
+            # multiplies the emitted term by beta here AND the whole
+            # per-bounce radiance by beta at accumulation (path.rs:
+            # 126-137); we reproduce that exactly for image parity.
+            emit_mask = specular_bounce | (bounce == 0)
+            emitted = lights_mod.area_light_radiance(scene, si, -d)
+            ne = jnp.where(emit_mask[..., None], beta * emitted, 0.0)
 
-        if params.indirect_clamp is not None:
-            clamped = jnp.minimum(bounce_radiance, params.indirect_clamp)
-            bounce_radiance = jnp.where(bounce > 0, clamped, bounce_radiance)
-
-        radiance = radiance + jnp.where(
-            alive[..., None], beta * bounce_radiance, 0.0
-        )
-
-        u = sampler.get_2d(ctx, dimn)
-        dimn = dimn + 2
-        with pass_scope("shade.bsdf_sample"):
+            u = sampler.get_2d(ctx, dimn)
+            dimn = dimn + 2
             bs = bsdf_mod.bsdf_sample(mp, si, si.wo, u, meta)
-        terminated = is_black(bs.f) | (bs.pdf == 0.0)
-        alive = alive & ~terminated
-        specular_bounce = bs.is_specular
+            terminated = is_black(bs.f) | (bs.pdf == 0.0)
+            alive2 = alive & ~terminated
+            spec2 = bs.is_specular
 
-        beta = beta * bs.f * (
-            jnp.abs(dot(bs.wi, si.ns)) / jnp.maximum(bs.pdf, 1e-30)
-        )[..., None]
-        # Guard against overflowing throughput (grazing microfacet pdfs can
-        # underflow in f32): a non-finite beta would turn inf*0 into NaN in
-        # later masked accumulations, so retire the lane instead.
-        finite = jnp.all(jnp.isfinite(beta), axis=-1)
-        alive = alive & finite
-        beta = jnp.where(finite[..., None], beta, 0.0)
-        # Park dead lanes at the scene center with a unit direction (and
-        # t_max=0 next bounce): see the traversal-cull poisoning note at
-        # the top of the loop body.
-        center = 0.5 * (scene.world_lo + scene.world_hi)
-        o = jnp.where(alive[..., None], spawn_ray(si, bs.wi), center)
-        d = jnp.where(alive[..., None], bs.wi, _BENIGN_D)
+            beta2 = beta * bs.f * (
+                jnp.abs(dot(bs.wi, si.ns)) / jnp.maximum(bs.pdf, 1e-30)
+            )[..., None]
+            # Guard against overflowing throughput (grazing microfacet
+            # pdfs can underflow in f32): a non-finite beta would turn
+            # inf*0 into NaN in later masked accumulations, so retire
+            # the lane instead.
+            finite = jnp.all(jnp.isfinite(beta2), axis=-1)
+            alive2 = alive2 & finite
+            beta2 = jnp.where(finite[..., None], beta2, 0.0)
+            # Park dead lanes at the scene center with a unit direction
+            # (and t_max=0 next bounce): see the cull-poisoning note at
+            # the top of the loop body.
+            o2 = jnp.where(alive2[..., None], spawn_ray(si, bs.wi), center)
+            d2 = jnp.where(alive2[..., None], bs.wi, _BENIGN_D)
 
-        # Russian roulette (path.rs:162-169), applied after bounce 3.
-        q = jnp.maximum(0.05, 1.0 - beta[..., 1])
-        r = sampler.get_1d(ctx, dimn)
-        rr_on = bounce > 3
-        alive = alive & ~(rr_on & (r < q))
-        beta = jnp.where(
-            rr_on, beta / jnp.maximum(1.0 - q, 1e-30)[..., None], beta
-        )
+            # Russian roulette (path.rs:162-169), applied after bounce 3.
+            q = jnp.maximum(0.05, 1.0 - beta2[..., 1])
+            r = sampler.get_1d(ctx, dimn)
+            rr_on = bounce > 3
+            alive2 = alive2 & ~(rr_on & (r < q))
+            beta2 = jnp.where(
+                rr_on, beta2 / jnp.maximum(1.0 - q, 1e-30)[..., None],
+                beta2,
+            )
+            if deferred:
+                # Pending NEE for the next iteration: rays + raw
+                # contribs + this bounce's emit/beta/alive snapshots.
+                return (o2, d2, beta2, alive2, spec2,
+                        no, nd, nt, ns, nw, nc, ne, beta, alive)
+            return o2, d2, beta2, alive2, spec2
 
-        return (o, d, beta, radiance, alive, specular_bounce, ray_count), None
+        def no_shade(_):
+            # Drain iteration (bounce == depth): no surface work — only
+            # the pending shadow resolution above matters.  Benign
+            # parked pend rays; pw/pa False zero every contribution.
+            parked_o = jnp.broadcast_to(center, o.shape)
+            parked_d = jnp.broadcast_to(_BENIGN_D, d.shape)
+            if deferred:
+                ln = n_lights * n
+                return (
+                    parked_o, parked_d, beta,
+                    jnp.zeros(shape, bool), specular_bounce,
+                    jnp.broadcast_to(center, (ln, 3)),
+                    jnp.broadcast_to(_BENIGN_D, (ln, 3)),
+                    jnp.zeros(ln), jnp.full(ln, -2, jnp.int32),
+                    jnp.zeros(ln, bool), jnp.zeros((ln, 3)),
+                    jnp.zeros(o.shape), beta, jnp.zeros(shape, bool),
+                )
+            return (parked_o, parked_d, beta,
+                    jnp.zeros(shape, bool), specular_bounce)
+
+        if deferred:
+            (o, d, beta, alive, specular_bounce,
+             po, pd_, pt, ps, pw, pc, pe, pb, pa) = jax.lax.cond(
+                bounce < depth, shade, no_shade, None
+            )
+            return (o, d, beta, radiance, alive, specular_bounce,
+                    ray_count, po, pd_, pt, ps, pw, pc, pe, pb, pa), None
+        o, d, beta, alive, specular_bounce = shade(None)
+        # No lights => no area lights => the emit term is identically
+        # zero, so nothing accumulates here (matches the reference's
+        # empty light fold + zero emitted radiance).
+        return (o, d, beta, radiance, alive, specular_bounce,
+                ray_count), None
 
     init = (
         o,
@@ -264,9 +358,24 @@ def path_li(scene, meta, params: PathParams, sampler: Sampler,
         jnp.zeros(shape, dtype=bool),
         jnp.zeros(shape, dtype=jnp.int32),
     )
-    (o, d, beta, radiance, alive, specular_bounce, ray_count), _ = jax.lax.scan(
-        body, init, jnp.arange(params.max_depth, dtype=jnp.int32)
+    if deferred:
+        ln = n_lights * n
+        init = init + (
+            jnp.broadcast_to(center, (ln, 3)),
+            jnp.broadcast_to(_BENIGN_D, (ln, 3)),
+            jnp.zeros(ln),
+            jnp.full(ln, -2, jnp.int32),
+            jnp.zeros(ln, bool),
+            jnp.zeros((ln, 3)),
+            jnp.zeros(o.shape),
+            jnp.ones(o.shape),
+            jnp.zeros(shape, bool),
+        )
+    steps = depth + 1 if deferred else depth
+    carry, _ = jax.lax.scan(
+        body, init, jnp.arange(steps, dtype=jnp.int32)
     )
+    radiance, ray_count = carry[3], carry[6]
     return LiResult(li=radiance, ray_count=ray_count)
 
 

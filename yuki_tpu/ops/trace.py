@@ -246,6 +246,50 @@ def _any_kernel(
     occ_out[:] = occ > 0
 
 
+def _dense_skip_kernel(
+    tri_ref, light_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+    tmax_ref, skip_ref, t_out, prim_out, b0_out, b1_out, *, n_tris: int,
+):
+    """Closest hit ignoring each lane's skip-light triangles — ONE dense
+    sweep serves combined closest + shadow-occlusion waves (shadow lanes
+    skip their sampled light, bvh.rs:287-293; closest lanes skip -2)."""
+    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+    skip = skip_ref[:]
+
+    def body(i, state):
+        t, prim, b0, b1 = state
+        hit, ti, bi0, bi1 = _watertight(
+            ox, oy, oz, dx, dy, dz, t, _tri_cols(tri_ref, i)
+        )
+        closer = hit & (ti < t) & (light_ref[i, 0] != skip)
+        return (
+            jnp.where(closer, ti, t),
+            jnp.where(closer, i, prim),
+            jnp.where(closer, bi0, b0),
+            jnp.where(closer, bi1, b1),
+        )
+
+    shape = ox.shape
+    init = (
+        tmax_ref[:],
+        jnp.full(shape, -1, dtype=jnp.int32),
+        jnp.zeros(shape, dtype=jnp.float32),
+        jnp.zeros(shape, dtype=jnp.float32),
+    )
+    if n_tris <= UNROLL_TRIS:
+        state = init
+        for i in range(n_tris):  # static unroll (see _dense_kernel)
+            state = body(i, state)
+        t, prim, b0, b1 = state
+    else:
+        t, prim, b0, b1 = jax.lax.fori_loop(0, n_tris, body, init)
+    t_out[:] = t
+    prim_out[:] = prim
+    b0_out[:] = b0
+    b1_out[:] = b1
+
+
 def _pack_rays(o, d, t_max):
     """[N,3] rays -> padded SoA [R,128] planes + original count."""
     n = o.shape[0]
@@ -296,6 +340,50 @@ def dense_trace(tris_packed, o, d, t_max, interpret: bool = False):
         ],
         interpret=interpret,
     )(tris_packed, *planes)
+    return (
+        t.reshape(-1)[:n],
+        prim.reshape(-1)[:n],
+        b0.reshape(-1)[:n],
+        b1.reshape(-1)[:n],
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def dense_trace_skip(tris_packed, tri_light, o, d, t_max, skip_light,
+                     interpret: bool = False):
+    """Closest hit with per-lane light exclusion (see _dense_skip_kernel).
+
+    tri_light [T,1] i32 area-light ids; skip_light [N] i32.
+    Returns (t [N], prim [N] i32, b0, b1)."""
+    n_tris = tris_packed.shape[0]
+    planes, n, rows = _pack_rays(o, d, t_max)
+    skip = jnp.pad(skip_light, (0, rows * LANES - n), constant_values=-2)
+    skip = skip.reshape(rows, LANES)
+    grid = rows // BLOCK_ROWS
+
+    block = pl.BlockSpec(
+        (BLOCK_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    tri_spec = pl.BlockSpec(
+        tris_packed.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    light_spec = pl.BlockSpec(
+        tri_light.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    out_shape = jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
+    t, prim, b0, b1 = pl.pallas_call(
+        functools.partial(_dense_skip_kernel, n_tris=n_tris),
+        grid=(grid,),
+        in_specs=[tri_spec, light_spec] + [block] * 7 + [block],
+        out_specs=[block] * 4,
+        out_shape=[
+            out_shape,
+            jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
+            out_shape,
+            out_shape,
+        ],
+        interpret=interpret,
+    )(tris_packed, tri_light, *planes, skip)
     return (
         t.reshape(-1)[:n],
         prim.reshape(-1)[:n],

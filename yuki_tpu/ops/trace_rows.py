@@ -214,9 +214,12 @@ def _recheck(cb_ref, tt, ox, oy, oz, dx, dy, dz, ts_cur, det_cur):
 
 
 def _rows_closest_kernel(qr_ref, pc_ref, cb_ref, t0_ref, t1_ref, t2_ref,
-                         t3_ref, rp_ref, out_ref, *, leaf_size):
+                         t3_ref, rp_ref, out_ref, *, leaf_size,
+                         with_skip=False):
     # Out sublanes: 0 = scaled ts, 1 = prim, 2 = det (> 0); the caller
     # divides ts/det once per ray (see trace_stream.closest_walk).
+    # with_skip: plane 7 carries a per-lane area-light id to ignore
+    # (combined closest+shadow waves, trace_stream.closest_walk).
     from .trace_stream import closest_walk
 
     p = pl.program_id(0)
@@ -229,6 +232,7 @@ def _rows_closest_kernel(qr_ref, pc_ref, cb_ref, t0_ref, t1_ref, t2_ref,
     dy = rp_ref[4:5, :]
     dz = rp_ref[5:6, :]
     tm = rp_ref[6:7, :]
+    sk = rp_ref[7:8, :] if with_skip else None
 
     @pl.when(is_first)
     def _():
@@ -255,7 +259,7 @@ def _rows_closest_kernel(qr_ref, pc_ref, cb_ref, t0_ref, t1_ref, t2_ref,
         def _(i=i, ts_cur=ts_cur, det_cur=det_cur):
             ts_b, det_b, prim_b = closest_walk(
                 tris[i], ox, oy, oz, dx, dy, dz, ts_cur, det_cur,
-                out_ref[1:2, :], leaf_size=leaf_size,
+                out_ref[1:2, :], leaf_size=leaf_size, skip=sk,
             )
             out_ref[0:1, :] = ts_b
             out_ref[1:2, :] = prim_b
@@ -342,11 +346,14 @@ def _grid_call(kernel, ch, quad_row, pair_chunk, packed, rows, cap,
 
 
 def rows_closest_w(ch, row_words, o, d, t_max, C: int = C_ROW,
-                   mult: int = 16, interpret: bool = False):
+                   mult: int = 16, interpret: bool = False,
+                   skip_light=None):
     """Closest hit via row-union walk from precomputed per-row union
     words.  Returns (t, prim, overflow per ray).  Callers re-run overflow
     rays elsewhere (their results may miss hits).  `mult`: average union
-    pairs budgeted per row (primary mean 8.1, p95 26 on the colonnade)."""
+    pairs budgeted per row (primary mean 8.1, p95 26 on the colonnade).
+    ``skip_light`` [N] (or None): per-ray area-light id to ignore, for
+    combined closest+shadow waves (trace_stream.closest_walk)."""
     n = o.shape[0]
     rows = n // LANES
     cap = -(-(mult * rows) // (2 * QUAD)) * 2 * QUAD
@@ -357,11 +364,14 @@ def rows_closest_w(ch, row_words, o, d, t_max, C: int = C_ROW,
     pair_row, pair_chunk, quad_row, n_pairs = _row_pairs(lists, rows, C,
                                                          cap)
     overflow = overflow | (n_pairs > cap)
-    packed = _pack_planes(
-        [o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2], t_max], rows
-    )
+    planes = [o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2], t_max]
+    if skip_light is not None:
+        planes.append(skip_light.astype(jnp.float32))
+    packed = _pack_planes(planes, rows)
+    kern = (functools.partial(_rows_closest_kernel, with_skip=True)
+            if skip_light is not None else _rows_closest_kernel)
     out = _grid_call(
-        _rows_closest_kernel, ch, quad_row, pair_chunk, packed, rows, cap,
+        kern, ch, quad_row, pair_chunk, packed, rows, cap,
         jnp.float32, interpret,
     )
     # ONE divide per ray resolves the kernel's scaled (ts, det) carry.

@@ -671,15 +671,18 @@ PACK_RPR = 4  # rays per pack-table row (1 = legacy [N,128] layout).
 # the cost of two masked lane-rolls on the gathered stream.
 
 
-def _pack_stream(o, d, t_max, slot_ray, valid, max_rows, extra=None):
+def _pack_stream(o, d, t_max, slot_ray, valid, max_rows, extra=None,
+                 rpr: int | None = None):
     """Ray planes -> plane-major stream [max_rows*8, 128] via ONE wide
     row-gather (the only fast gather shape on this chip): PACK_RPR rays
     of 8 floats live per [*, 128] table row (o xyz, d xyz, t, extra);
     slots gather whole rows and rotate their ray's 8-float block to the
     front with log2(PACK_RPR) masked lane-rolls.  ``extra`` ([n] f32,
-    e.g. the occlusion skip-light plane) rides float 7."""
+    e.g. the occlusion skip-light plane) rides float 7.
+    ``rpr`` overrides PACK_RPR (bench sweeps; production uses the
+    default)."""
     n = o.shape[0]
-    rpr = PACK_RPR
+    rpr = PACK_RPR if rpr is None else rpr
     p8 = jnp.concatenate(
         [o, d, t_max[:, None],
          (jnp.zeros((n, 1), o.dtype) if extra is None
@@ -722,7 +725,7 @@ def _pack_stream(o, d, t_max, slot_ray, valid, max_rows, extra=None):
 
 
 def closest_walk(tri_ref, ox, oy, oz, dx, dy, dz, ts0, det0, prim0,
-                 *, leaf_size):
+                 *, leaf_size, skip=None):
     """Walk one chunk's triangle block for a (1,128) ray group carrying a
     SCALED closest hit (ts, det, prim) with t = ts/det, det > 0.
     8 triangles per VPU op.
@@ -733,7 +736,13 @@ def closest_walk(tri_ref, ox, oy, oz, dx, dy, dz, ts0, det0, prim0,
     cross-sublane winner reduction are gone — each SUBLANE carries its own
     scaled best, compared by cross-multiplication, and one tournament
     (_scaled_min8) resolves the block at the end.  The caller performs
-    the single ts/det divide per ray outside the loop."""
+    the single ts/det divide per ray outside the loop.
+
+    ``skip`` ((1,128) f32 plane or None): triangles whose area-light id
+    (tris col 9) equals the lane's skip value are ignored — the
+    reference's sampled-light exclusion (bvh.rs:287-293) so ONE walk can
+    serve combined closest + shadow-occlusion waves (shadow lanes set
+    their light id, closest lanes -2 which matches nothing)."""
     pre = _ray_shear(dx, dy, dz)
     shape8 = (8, LANES)
     carry0 = (
@@ -749,6 +758,8 @@ def closest_walk(tri_ref, ox, oy, oz, dx, dy, dz, ts0, det0, prim0,
         ok, ts_c, det_c = _watertight_scaled(pre, ox, oy, oz, cols)
         pid = blk[:, 10:11]
         closer = ok & (pid >= 0.0) & (ts_c * det_b < ts_b * det_c)
+        if skip is not None:
+            closer = closer & (blk[:, 9:10] != skip)
         pid_b = jnp.broadcast_to(pid, shape8)
         return (
             jnp.where(closer, ts_c, ts_b),
@@ -796,10 +807,12 @@ QUAD = 4  # slot rows per grid step: quadruple per-step compute so the
 # ~0.9 us/step pipeline stall at one row per step)
 
 
-def _closest_kernel(rc_ref, *refs, leaf_size, quad=QUAD):
+def _closest_kernel(rc_ref, *refs, leaf_size, quad=QUAD, with_skip=False):
     # Out sublanes per slot row: 0 = scaled ts, 1 = prim, 2 = det (> 0);
     # the caller divides ts/det ONCE per slot in XLA (closest_walk
     # docstring) instead of the kernel dividing every step.
+    # with_skip: plane 7 carries a per-lane area-light id to ignore
+    # (combined closest+shadow waves; see closest_walk).
     tris, (rp_ref, out_ref) = refs[:quad], refs[quad:]
     for i in range(quad):
         b = 8 * i
@@ -810,6 +823,7 @@ def _closest_kernel(rc_ref, *refs, leaf_size, quad=QUAD):
         dy = rp_ref[b + 4 : b + 5, :]
         dz = rp_ref[b + 5 : b + 6, :]
         tm = rp_ref[b + 6 : b + 7, :]
+        sk = rp_ref[b + 7 : b + 8, :] if with_skip else None
 
         out_ref[b : b + 1, :] = tm
         out_ref[b + 1 : b + 2, :] = jnp.full(tm.shape, -1.0, jnp.float32)
@@ -817,13 +831,14 @@ def _closest_kernel(rc_ref, *refs, leaf_size, quad=QUAD):
         out_ref[b + 3 : b + 8, :] = jnp.zeros((5, LANES), jnp.float32)
 
         @pl.when(jnp.any(tm > 0.0))
-        def _(i=i, ox=ox, oy=oy, oz=oz, dx=dx, dy=dy, dz=dz, tm=tm, b=b):
+        def _(i=i, ox=ox, oy=oy, oz=oz, dx=dx, dy=dy, dz=dz, tm=tm, b=b,
+              sk=sk):
             ts_b, det_b, prim_b = closest_walk(
                 tris[i], ox, oy, oz, dx, dy, dz,
                 jnp.maximum(tm, 0.0),
                 jnp.ones(tm.shape, jnp.float32),
                 jnp.full(tm.shape, -1.0, jnp.float32),
-                leaf_size=leaf_size,
+                leaf_size=leaf_size, skip=sk,
             )
             out_ref[b : b + 1, :] = ts_b
             out_ref[b + 1 : b + 2, :] = prim_b
@@ -935,20 +950,21 @@ def _recompute_bary(shading_packed, o, d, t, prim):
 
 def stream_closest_w(ch, words, o, d, t_max, C: int = C_MAIN,
                      mult: int = 6, mult_wide: int | None = None,
-                     interpret: bool = False):
+                     interpret: bool = False, skip=None):
     """Closest hit over the exact incidence stream, from precomputed
     crossing words (dense [N, W] layout; extracts lists then defers to
     stream_closest_l)."""
     lists, overflow = extract_lists(words, C)
     return stream_closest_l(
         ch, lists, overflow, o, d, t_max, C=C, mult=mult,
-        mult_wide=mult_wide, interpret=interpret,
+        mult_wide=mult_wide, interpret=interpret, skip=skip,
     )
 
 
 def stream_closest_l(ch, lists, overflow, o, d, t_max, C: int = C_MAIN,
                      mult: int = 6, mult_wide: int | None = None,
-                     interpret: bool = False, quad: int = QUAD):
+                     interpret: bool = False, quad: int = QUAD,
+                     skip=None):
     """Closest hit over the exact incidence stream, from extracted
     candidate lists [N, C] (-1 pad, ascending chunk id).
 
@@ -976,9 +992,12 @@ def stream_closest_l(ch, lists, overflow, o, d, t_max, C: int = C_MAIN,
                 n, n_c, pos_s, seg, aligned_off, C, max_rows
             )
             slot_ray = jnp.where(valid, slot_pos // C, 0)
-            packed = _pack_stream(o, d, t_max, slot_ray, valid, max_rows)
+            packed = _pack_stream(o, d, t_max, slot_ray, valid, max_rows,
+                                  extra=skip)
+            kern = (functools.partial(_closest_kernel, with_skip=True)
+                    if skip is not None else _closest_kernel)
             out = _run_kernel(
-                _closest_kernel, ch, row_chunk, packed, max_rows,
+                kern, ch, row_chunk, packed, max_rows,
                 jnp.float32, interpret, quad=quad,
             )
 
@@ -1025,12 +1044,12 @@ def stream_closest_l(ch, lists, overflow, o, d, t_max, C: int = C_MAIN,
 )
 def stream_closest(ch, shading_packed, o, d, t_max, C: int = C_MAIN,
                    mult: int = 6, mult_wide: int | None = None,
-                   interpret: bool = False):
+                   interpret: bool = False, skip=None):
     """Standalone slot-stream closest hit (computes words + bary)."""
     words = cross_words(ch, o, d, t_max)
     t, prim, overflow, ok = stream_closest_w(
         ch, words, o, d, t_max, C=C, mult=mult, mult_wide=mult_wide,
-        interpret=interpret,
+        interpret=interpret, skip=skip,
     )
     b0, b1 = _recompute_bary(shading_packed, o, d, t, prim)
     return t, prim, b0, b1, overflow, ok

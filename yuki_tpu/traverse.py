@@ -51,7 +51,7 @@ def _use_pallas() -> bool:
     return jax.default_backend() == "tpu" or FORCE_PALLAS_INTERPRET
 
 
-def intersect_dense(scene, o, d, t_max):
+def intersect_dense(scene, o, d, t_max, skip_light=None):
     """Closest-hit by dense sweep over all triangles.
 
     On TPU this dispatches to the Pallas block kernel (ops/trace.py):
@@ -61,12 +61,22 @@ def intersect_dense(scene, o, d, t_max):
     per ray than pointer-chasing BVH gathers, and numerically identical to
     the kernel.  O(T) per ray, so the scene builder selects dense mode only
     under DENSE_TRI_THRESHOLD triangles.
+
+    ``skip_light`` [N] i32 (or None): per-lane area-light id whose
+    triangles are ignored — lets ONE sweep serve combined closest +
+    shadow-occlusion waves (the reference's sampled-light skip,
+    bvh.rs:287-293; closest lanes pass -2 which matches nothing).
     Returns (t, prim, b0, b1)."""
     if _backend_tpu():
-        from .ops.trace import dense_trace, pack_triangles
+        from .ops.trace import (dense_trace, dense_trace_skip,
+                                pack_triangles)
 
         tp = pack_triangles(scene.tris.p0, scene.tris.p1, scene.tris.p2)
-        return dense_trace(tp, o, d, t_max)
+        if skip_light is None:
+            return dense_trace(tp, o, d, t_max)
+        return dense_trace_skip(
+            tp, scene.tris.area_light[:, None], o, d, t_max, skip_light
+        )
     tris = scene.tris
     n = tris.p0.shape[0]
     shape = o.shape[:-1]
@@ -75,6 +85,8 @@ def intersect_dense(scene, o, d, t_max):
         t, prim, b0, b1 = s
         th = ray_triangle(o, d, t, tris.p0[i], tris.p1[i], tris.p2[i])
         closer = th.hit & (th.t < t)
+        if skip_light is not None:
+            closer = closer & (tris.area_light[i] != skip_light)
         return (
             jnp.where(closer, th.t, t),
             jnp.where(closer, i, prim),
@@ -134,8 +146,10 @@ def _octant(d: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def intersect_bvh(scene, o, d, t_max, max_leaf: int, with_stats: bool = False):
-    """Closest-hit triangles-only traversal. Returns (t, prim, b0, b1[, steps])."""
+def intersect_bvh(scene, o, d, t_max, max_leaf: int, with_stats: bool = False,
+                  skip_light=None):
+    """Closest-hit triangles-only traversal. Returns (t, prim, b0, b1[, steps]).
+    ``skip_light``: see intersect_dense (per-lane area-light exclusion)."""
     bvh = scene.bvh
     n_nodes = bvh.node_lo.shape[0]
     inv_d = 1.0 / d
@@ -174,6 +188,8 @@ def intersect_bvh(scene, o, d, t_max, max_leaf: int, with_stats: bool = False):
                 o, d, t, scene.tris.p0[pidx], scene.tris.p1[pidx], scene.tris.p2[pidx]
             )
             closer = lane & th.hit & (th.t < t)
+            if skip_light is not None:
+                closer = closer & (scene.tris.area_light[pidx] != skip_light)
             t = jnp.where(closer, th.t, t)
             prim = jnp.where(closer, pidx, prim)
             b0 = jnp.where(closer, th.b0, b0)
@@ -379,16 +395,24 @@ def _sorted_call(scene, o, d, t_max, extra, fn, skip_sort: bool = False):
 
 
 def intersect(scene, meta, o, d, t_max, with_stats: bool = False,
-              skip_sort: bool = False):
+              skip_sort: bool = False, skip_light=None):
     """Full scene closest hit: triangles (dense sweep or threaded BVH,
     chosen statically by the scene builder) + brute-force spheres
     (divergence from the reference, which BVHs spheres too — see
     scene/data.py docstring). Returns SceneHit[, steps].
 
     ``skip_sort``: see _sorted_call — bounce waves skip the coherence
-    sort (slot pipeline is order-independent; bitwise-same results)."""
+    sort (slot pipeline is order-independent; bitwise-same results).
+
+    ``skip_light`` [N] i32 (or None): per-lane area-light id whose
+    triangles are excluded from the walk (bvh.rs:287-293).  This lets
+    path_li trace next-bounce rays and NEE shadow rays in ONE combined
+    call — shadow lanes pass their sampled light id (occluded == .hit,
+    since t_max is the 0.9999 chord), closest lanes pass -2.  With
+    skip_light=None every engine runs its unchanged (bitwise-identical)
+    no-skip graph."""
     if meta.traversal == "dense" and not with_stats:
-        t, prim, b0, b1 = intersect_dense(scene, o, d, t_max)
+        t, prim, b0, b1 = intersect_dense(scene, o, d, t_max, skip_light)
     elif meta.traversal == "treelet" and not with_stats and _use_pallas():
         from .ops import trace_bundles as tb
         from .ops import trace_rows as tr
@@ -406,9 +430,12 @@ def intersect(scene, meta, o, d, t_max, with_stats: bool = False,
         ch = scene.chunks
         interp = FORCE_PALLAS_INTERPRET
 
-        def run_sorted(o, d, t_max, _extra):
+        def run_sorted(o, d, t_max, sk):
             n0 = o.shape[0]
-            o, d, t_max = _pad128(scene, o, d, t_max)
+            if sk is None:
+                o, d, t_max = _pad128(scene, o, d, t_max)
+            else:
+                o, d, t_max, sk = _pad128(scene, o, d, t_max, sk)
             n = o.shape[0]
             rows = n // 128
             row_words = tr.row_words_interval(ch, o, d, t_max)
@@ -417,7 +444,7 @@ def intersect(scene, meta, o, d, t_max, with_stats: bool = False,
             def rows_branch(_):
                 t_r, p_r, ov_r = tr.rows_closest_w(
                     ch, row_words, o, d, t_max, C=_ROWS_C,
-                    mult=_ROWS_MULT, interpret=interp,
+                    mult=_ROWS_MULT, interpret=interp, skip_light=sk,
                 )
                 return t_r, p_r, ov_r, jnp.asarray(True)
 
@@ -433,7 +460,7 @@ def intersect(scene, meta, o, d, t_max, with_stats: bool = False,
                 # and the OR'd kernel amplification exceeds the
                 # extraction savings.  Per-ray stream is production;
                 # bundles stay behind meta.bun_closest > 1.
-                if meta.bun_closest > 1:
+                if meta.bun_closest > 1 and sk is None:
                     words = ts.cross_words(ch, o, d, t_max, interpret=interp)
                     bw = tb.bundle_words(words, meta.bun_closest)
                     return tb.bundles_closest_w(
@@ -458,13 +485,13 @@ def intersect(scene, meta, o, d, t_max, with_stats: bool = False,
                     return ts.stream_closest_l(
                         ch, lists, ov, o, d, t_max,
                         mult=meta.slot_mult_tight, mult_wide=meta.slot_mult,
-                        interpret=interp,
+                        interpret=interp, skip=sk,
                     )
                 words = ts.cross_words(ch, o, d, t_max, interpret=interp)
                 return ts.stream_closest_w(
                     ch, words, o, d, t_max,
                     mult=meta.slot_mult_tight, mult_wide=meta.slot_mult,
-                    interpret=interp,
+                    interpret=interp, skip=sk,
                 )
 
             t_s, prim_s, ov, ok = jax.lax.cond(
@@ -476,6 +503,8 @@ def intersect(scene, meta, o, d, t_max, with_stats: bool = False,
             o2 = jnp.where(live[:, None], o[idx], 0.0)
             d2 = jnp.where(live[:, None], d[idx], _Z_DIR)
             t2 = jnp.where(live, t_max[idx], 0.0)
+            s2 = (None if sk is None
+                  else jnp.where(live, sk[idx], -2))
 
             def run_wide_cap(cap):
                 def run(_):
@@ -484,6 +513,7 @@ def intersect(scene, meta, o, d, t_max, with_stats: bool = False,
                         C=ts.C_WIDE,
                         mult=(ts.WIDE_LOW_MULT, ts.WIDE_TIGHT_MULT),
                         mult_wide=ts.C_WIDE, interpret=interp,
+                        skip=None if s2 is None else s2[:cap],
                     )
                     idxc, livec = idx[:cap], live[:cap]
                     return (
@@ -521,20 +551,38 @@ def intersect(scene, meta, o, d, t_max, with_stats: bool = False,
             )
             ok = ok & ok2 & (n_ov <= ts.OV_CAP)
             b0_s, b1_s = ts._recompute_bary(sp, o, d, t_s, prim_s)
+
+            def fallback(_):
+                # Capacity blow-out escape hatch.  The treelet walk has
+                # no light-skip; with a combined wave, patch the shadow
+                # lanes' prim from a skip-aware occlusion walk (their t /
+                # bary are never consumed — only .hit is).
+                t_f, p_f, b0_f, b1_f = treelet_closest(
+                    scene.treelets, o, d, t_max, interpret=interp)
+                if sk is not None:
+                    from .ops.trace_treelets import treelet_any
+
+                    occ_f = treelet_any(scene.treelets, o, d, t_max, sk,
+                                        interpret=interp)
+                    is_shadow = sk != -2
+                    p_f = jnp.where(
+                        is_shadow, jnp.where(occ_f, 0, -1), p_f)
+                return t_f, p_f, b0_f, b1_f
+
             t, prim, b0, b1 = jax.lax.cond(
                 ok,
                 lambda _: (t_s, prim_s, b0_s, b1_s),
-                lambda _: treelet_closest(scene.treelets, o, d, t_max,
-                                          interpret=interp),
+                fallback,
                 None,
             )
             return t[:n0], prim[:n0], b0[:n0], b1[:n0]
 
         t, prim, b0, b1 = _sorted_call(
-            scene, o, d, t_max, None, run_sorted, skip_sort=skip_sort
+            scene, o, d, t_max, skip_light, run_sorted, skip_sort=skip_sort
         )
     else:
-        res = intersect_bvh(scene, o, d, t_max, meta.bvh_max_leaf, with_stats)
+        res = intersect_bvh(scene, o, d, t_max, meta.bvh_max_leaf, with_stats,
+                            skip_light=skip_light)
         if with_stats:
             t, prim, b0, b1, steps = res
         else:
