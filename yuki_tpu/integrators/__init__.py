@@ -230,7 +230,7 @@ def path_li(scene, meta, params: PathParams, sampler: Sampler,
             with pass_scope("trace.combined"):
                 hc = traverse.intersect(
                     scene, meta, o_all, d_all, t_all, skip_sort=True,
-                    skip_light=s_all,
+                    skip_light=s_all, bary_count=n,
                 )
             hit = traverse.SceneHit(*(x[:n] for x in hc))
             occ_p = hc.hit[n:]

@@ -395,7 +395,8 @@ def _sorted_call(scene, o, d, t_max, extra, fn, skip_sort: bool = False):
 
 
 def intersect(scene, meta, o, d, t_max, with_stats: bool = False,
-              skip_sort: bool = False, skip_light=None):
+              skip_sort: bool = False, skip_light=None,
+              bary_count: int | None = None):
     """Full scene closest hit: triangles (dense sweep or threaded BVH,
     chosen statically by the scene builder) + brute-force spheres
     (divergence from the reference, which BVHs spheres too — see
@@ -410,7 +411,13 @@ def intersect(scene, meta, o, d, t_max, with_stats: bool = False,
     call — shadow lanes pass their sampled light id (occluded == .hit,
     since t_max is the 0.9999 chord), closest lanes pass -2.  With
     skip_light=None every engine runs its unchanged (bitwise-identical)
-    no-skip graph."""
+    no-skip graph.
+
+    ``bary_count`` (static, treelet path, requires skip_sort): only the
+    first bary_count lanes get barycentrics recomputed — shadow lanes of
+    a combined wave never consume b0/b1, and the recompute is a [N,32]
+    row-gather + dense watertight pass that would otherwise run on 3x
+    the lanes."""
     if meta.traversal == "dense" and not with_stats:
         t, prim, b0, b1 = intersect_dense(scene, o, d, t_max, skip_light)
     elif meta.traversal == "treelet" and not with_stats and _use_pallas():
@@ -550,7 +557,14 @@ def intersect(scene, meta, o, d, t_max, with_stats: bool = False,
                 n_ov > 0, run_wide, skip_wide, None
             )
             ok = ok & ok2 & (n_ov <= ts.OV_CAP)
-            b0_s, b1_s = ts._recompute_bary(sp, o, d, t_s, prim_s)
+            nb = n if bary_count is None or not skip_sort else min(
+                -(-bary_count // 128) * 128, n)
+            b0_s, b1_s = ts._recompute_bary(
+                sp, o[:nb], d[:nb], t_s[:nb], prim_s[:nb])
+            if nb < n:
+                pad = jnp.zeros(n - nb, b0_s.dtype)
+                b0_s = jnp.concatenate([b0_s, pad])
+                b1_s = jnp.concatenate([b1_s, pad])
 
             def fallback(_):
                 # Capacity blow-out escape hatch.  The treelet walk has
