@@ -663,12 +663,14 @@ def build_slots(n: int, n_chunks: int, lists, C: int, max_rows: int):
     return slot_pos, row_chunk, valid, ok
 
 
-PACK_RPR = 4  # rays per pack-table row (1 = legacy [N,128] layout).
+PACK_RPR = 2  # rays per pack-table row (1 = legacy [N,128] layout).
 # Row gathers are LATENCY-bound at ~15 ns/row from a [262144, 128]
 # table but ~6.7 ns/row once the table is <= [131072, 128]
-# (benchmarks/r3_packshapes.py) — packing 4 rays of 8 floats per row
-# keeps even a 524k-ray batched-NEE wave's table under the cliff, at
-# the cost of two masked lane-rolls on the gathered stream.
+# (benchmarks/r3_packshapes.py) — packing rays 2-per-row halves the
+# table at the cost of one masked lane-roll on the gathered stream.
+# On-chip sweep (benchmarks/r3_packsweep.py, r3 combined waves):
+# rpr=2 beats 1/4/8 at BOTH production scales (262k: 17.8 vs
+# 23.3/22.7/26.8 ms; 786k combined: 33.6 vs 48.6/45.5/58.3).
 
 
 def _pack_stream(o, d, t_max, slot_ray, valid, max_rows, extra=None,
