@@ -1,0 +1,90 @@
+"""Equivalence tests for the fused shading megakernel
+(ops/shade_fused.py) against the reference XLA shading chain.
+
+The kernel is a formula-for-formula SoA port of make_surface +
+gather_materials + _nee_setup + bsdf_sample + the path_li shade tail,
+so full renders through both paths must agree to float-reassociation
+tolerance (the kernel reorders some reductions, e.g. SoA dot products).
+Runs in Pallas interpret mode on the CPU backend."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from yuki_tpu import integrators
+from yuki_tpu.camera import Camera
+from yuki_tpu.integrators import PathParams
+from yuki_tpu.ops import shade_fused
+from yuki_tpu.renderer import make_wave_renderer
+from yuki_tpu.sampling import SampleCtx, UniformSampler, StratifiedSampler, pcg_hash
+from yuki_tpu.scene.cornell import cornell
+from yuki_tpu.scene.testscenes import colonnade
+
+
+def test_pcg_i32_matches_u32():
+    """The kernel's i32 PCG (wrapping mul + logical shifts) must be
+    bit-identical to sampling.pcg_hash's u32 form."""
+    rng = np.random.default_rng(3)
+    x = rng.integers(0, 2**32, 4096, dtype=np.uint32)
+    ref = np.asarray(pcg_hash(jnp.asarray(x)))
+    xi = jax.lax.bitcast_convert_type(jnp.asarray(x), jnp.int32)
+    got = np.asarray(
+        jax.lax.bitcast_convert_type(shade_fused._pcg(xi), jnp.uint32)
+    )
+    assert np.array_equal(ref, got)
+
+
+def _render(scene_tuple, mode, depth=5, spp=1, res=(64, 48), td=8,
+            tiles=12):
+    scene, cam_params, _ = scene_tuple
+    camera = Camera.create(cam_params, *res)
+    sampler = UniformSampler(spp)
+    origins = jnp.asarray(
+        np.stack(
+            [np.arange(tiles, dtype=np.int32) % 4 * td,
+             np.arange(tiles, dtype=np.int32) // 4 * td], axis=1,
+        )
+    )
+    old = integrators.FUSED_SHADE_MODE
+    integrators.FUSED_SHADE_MODE = mode
+    try:
+        render = make_wave_renderer(
+            scene, camera, sampler, PathParams(max_depth=depth), td, tiles
+        )
+        px, rays = render(origins, jnp.int32(0), jnp.uint32(7))
+        return np.asarray(px), float(rays)
+    finally:
+        integrators.FUSED_SHADE_MODE = old
+
+
+@pytest.mark.parametrize("depth", [2, 5])
+def test_fused_matches_xla_cornell(depth):
+    """Cornell (dense traversal, matte+glass+metal, rect area light,
+    texture-bound back wall, one sphere): full render parity."""
+    ref, rays_ref = _render(cornell(), "off", depth=depth)
+    got, rays_got = _render(cornell(), "interpret", depth=depth)
+    assert rays_ref == rays_got  # liveness chain identical
+    # Same math, different op order (SoA dots, fused selects): tight
+    # relative agreement, not bitwise.
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_fused_matches_xla_colonnade():
+    """Colonnade (treelet scene, multiple lights): parity through the
+    combined-trace path on the CPU fallback engines."""
+    ref, rays_ref = _render(colonnade(), "off", depth=3)
+    got, rays_got = _render(colonnade(), "interpret", depth=3)
+    assert rays_ref == rays_got
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_supported_gate():
+    scene, _, _ = cornell()
+    assert shade_fused.fused_shade_supported(
+        scene.data, scene.meta, UniformSampler(1)
+    )
+    # Stratified sampler: per-lane rejection loop — not kernelizable.
+    assert not shade_fused.fused_shade_supported(
+        scene.data, scene.meta, StratifiedSampler(2, 2)
+    )

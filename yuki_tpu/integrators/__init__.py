@@ -46,6 +46,25 @@ class PathParams:
 # rays whose 1/d = inf turns the traversal slab tests into NaNs.
 _BENIGN_D = jnp.asarray([0.0, 0.0, 1.0])
 
+# Fused-shade dispatch mode: "auto" uses the Pallas shading megakernel
+# (ops/shade_fused.py) on the TPU backend whenever the scene/sampler
+# support it; "off" forces the reference XLA chain; "interpret" runs
+# the kernel in Pallas interpret mode on any backend (CPU equivalence
+# tests).
+FUSED_SHADE_MODE = "auto"
+
+
+def _use_fused_shade(scene, meta, sampler) -> bool:
+    from ..ops import shade_fused
+
+    if FUSED_SHADE_MODE == "off":
+        return False
+    if not shade_fused.fused_shade_supported(scene, meta, sampler):
+        return False
+    if FUSED_SHADE_MODE == "interpret":
+        return True
+    return traverse._use_pallas()
+
 # Hard ceiling on Whitted specular-tree steps.  A full binary glass tree
 # at the viewer's max depth of 12 would otherwise be a 4095-step
 # sequential scan reachable from the UI (round-2 verdict item 6); 255
@@ -174,29 +193,26 @@ def path_li(scene, meta, params: PathParams, sampler: Sampler,
     *indices* differ from the reference past bounce 3 but every dimension is
     still an independent stateless-hash stream, so distributions match.
 
-    DEFERRED-NEE COMBINED TRACE (round 3): a bounce's NEE shadow rays and
-    the NEXT bounce's closest-hit ray all originate at the same surface
-    point, so each scan iteration traces them as ONE wave through
-    traverse.intersect with a per-lane skip-light plane (occluded ==
-    .hit for the shadow lanes).  This halves the traversal calls per wave
-    (one combined call per bounce vs closest + any) — the per-call fixed
-    costs (cull probe, adaptive dispatch, the static overflow mini-wave)
-    were measured at ~1/3 of every divergent call (r3_dispatch_diag) —
-    and compiles ONE traversal body per scan instead of two.  The NEE
-    verdict for bounce b therefore lands at iteration b+1: contributions,
-    the emit term, beta and alive snapshots ride the carry, and the scan
-    runs max_depth+1 iterations (the last drains pending shadows with
-    zero-length bounce rays; its shade stage is lax.cond-skipped).
-    Radiance math is the reference's exactly (same samples, same clamp
-    placement, same double-beta emit quirk, path.rs:102-178) — only the
-    accumulation ORDER shifts by one iteration."""
+    Each bounce is one closest-hit call plus one light-major batched
+    occlusion call (all lights' shadow rays in a single [L*N]
+    any_intersect).  A round-3 COMBINED-trace variant (shadow rays
+    deferred into the next bounce's closest call via per-lane skip-light
+    planes) was built and REVERTED: traversal stage costs are
+    lane-count-proportional, so shadow lanes at closest-walk rates plus
+    the extra drain iteration measured 1099 ms vs 919 on the colonnade
+    d5 wave (r3_knockout, /tmp/r3_chain.log).  The skip_light plumbing
+    remains in every engine for other callers.
+
+    On the TPU backend the surface -> materials -> NEE-setup ->
+    bsdf_sample -> RR chain runs as ONE Pallas megakernel
+    (ops/shade_fused.py) when the scene/sampler support it; the XLA
+    chain below is the reference semantics and the fallback."""
     shape = o.shape[:-1]
     n = o.shape[0]
     n_lights = len(meta.light_types)
     dims_per_bounce = 2 * n_lights + 2 + 1
-    depth = params.max_depth
-    deferred = n_lights > 0
     center = 0.5 * (scene.world_lo + scene.world_hi)
+    use_fused = n_lights > 0 and _use_fused_shade(scene, meta, sampler)
 
     # Every bounce skips the coherence sort (traverse._sorted_call
     # skip_sort): the engines are per-ray exact in any order, primary
@@ -205,147 +221,126 @@ def path_li(scene, meta, params: PathParams, sampler: Sampler,
     # branch), and divergent bounce waves always take the slot pipeline,
     # which with the fused per-ray cull (ops/trace_cull.py) is
     # order-independent — so the argsort + 3 gathers + unsort scatter
-    # per traversal call are pure overhead.
+    # per traversal call are pure overhead.  NOTE a bounce-0 peel was
+    # tried and REVERTED: calling the body once outside lax.scan changes
+    # XLA fusion/rounding in the shading math and shifted the Cornell
+    # golden by RMSE 5.6e-3 (round 3).
     def body(carry, bounce):
-        if deferred:
-            (o, d, beta, radiance, alive, specular_bounce, ray_count,
-             po, pd_, pt, ps, pw, pc, pe, pb, pa) = carry
-        else:
-            (o, d, beta, radiance, alive, specular_bounce,
-             ray_count) = carry
+        o, d, beta, radiance, alive, specular_bounce, ray_count = carry
         dim0 = dim + bounce * dims_per_bounce
 
-        tracing = alive & (bounce < depth)
-        ray_count = ray_count + tracing.astype(jnp.int32)
+        ray_count = ray_count + alive.astype(jnp.int32)
         # Dead lanes trace a zero-length benign ray (see _nee_setup:
         # their garbage origins would otherwise poison block culls and
         # overflow the pair budget into the slow fallback walk every
         # bounce — measured 939 ms vs ~30 ms for the 262k-ray wave).
-        t_max = jnp.where(tracing, traverse.F32_MAX, 0.0)
-        if deferred:
-            o_all = jnp.concatenate([o, po])
-            d_all = jnp.concatenate([d, pd_])
-            t_all = jnp.concatenate([t_max, pt])
-            s_all = jnp.concatenate([jnp.full(n, -2, jnp.int32), ps])
-            with pass_scope("trace.combined"):
-                hc = traverse.intersect(
-                    scene, meta, o_all, d_all, t_all, skip_sort=True,
-                    skip_light=s_all, bary_count=n,
-                )
-            hit = traverse.SceneHit(*(x[:n] for x in hc))
-            occ_p = hc.hit[n:]
-            # Resolve the PREVIOUS bounce's deferred NEE: contribution
-            # sum + its emit term, clamped, weighted by its beta/alive
-            # snapshots (exactly path.rs:126-137, one iteration later).
-            prev_br = _nee_resolve(occ_p, pw, pc, shape, n_lights) + pe
-            if params.indirect_clamp is not None:
-                clamped = jnp.minimum(prev_br, params.indirect_clamp)
-                prev_br = jnp.where(bounce - 1 > 0, clamped, prev_br)
-            radiance = radiance + jnp.where(
-                pa[..., None], pb * prev_br, 0.0
+        t_max = jnp.where(alive, traverse.F32_MAX, 0.0)
+        with pass_scope("trace.closest"):
+            hit = traverse.intersect(
+                scene, meta, o, d, t_max, skip_sort=True
             )
-        else:
-            with pass_scope("trace.closest"):
-                hit = traverse.intersect(
-                    scene, meta, o, d, t_max, skip_sort=True
-                )
 
         # Miss: background, terminate (path.rs:155-160).
-        missed = tracing & ~hit.hit
+        missed = alive & ~hit.hit
         radiance = radiance + jnp.where(
             missed[..., None], beta * scene.background, 0.0
         )
-        alive = tracing & hit.hit
+        alive = alive & hit.hit
 
-        def shade(_):
+        if use_fused:
+            # Pallas shading megakernel: surface -> materials -> NEE
+            # setup -> emit -> bsdf_sample -> RR in one VMEM-resident
+            # kernel; radiance math identical to the XLA chain below
+            # (tests/test_shade_fused.py proves render parity).
+            from ..ops import shade_fused
+
+            with pass_scope("shade.fused"):
+                (o2, d2, beta2, alive2, spec2, no, nd, nt, ns_k, nw, nc,
+                 ne) = shade_fused.shade_fused(
+                    scene, meta, sampler, ctx, hit, o, d, beta, alive,
+                    specular_bounce, dim0, bounce,
+                    interpret=FUSED_SHADE_MODE == "interpret",
+                )
+            with pass_scope("trace.occlusion"):
+                occ = traverse.any_intersect(
+                    scene, meta, no, nd, nt, ns_k, skip_sort=True
+                )
+            # ne is the kernel's beta*emitted term; the outer beta at
+            # accumulation reproduces the reference's double-beta emit
+            # quirk exactly (path.rs:126-137).
+            bounce_radiance = _nee_resolve(occ, nw, nc, shape, n_lights)
+            bounce_radiance = bounce_radiance + ne
+            if params.indirect_clamp is not None:
+                clamped = jnp.minimum(bounce_radiance, params.indirect_clamp)
+                bounce_radiance = jnp.where(
+                    bounce > 0, clamped, bounce_radiance
+                )
+            radiance = radiance + jnp.where(
+                alive[..., None], beta * bounce_radiance, 0.0
+            )
+            return (o2, d2, beta2, radiance, alive2, spec2,
+                    ray_count), None
+
+        with pass_scope("shade.surface"):
             si = make_surface(scene, hit, o, d)
             mp = bsdf_mod.gather_materials(scene, si, meta)
 
-            if deferred:
-                no, nd, nt, ns, nw, nc, dimn = _nee_setup(
-                    scene, meta, sampler, ctx, si, mp, dim0, alive
-                )
-            else:
-                dimn = dim0
+        with pass_scope("shade.nee"):
+            bounce_radiance, dimn = _nee(
+                scene, meta, sampler, ctx, si, mp, dim0, alive,
+                skip_sort=True,
+            )
 
-            # Emitted on first/specular hit.  NOTE: the reference
-            # multiplies the emitted term by beta here AND the whole
-            # per-bounce radiance by beta at accumulation (path.rs:
-            # 126-137); we reproduce that exactly for image parity.
-            emit_mask = specular_bounce | (bounce == 0)
-            emitted = lights_mod.area_light_radiance(scene, si, -d)
-            ne = jnp.where(emit_mask[..., None], beta * emitted, 0.0)
+        # Emitted on first/specular hit.  NOTE: the reference multiplies
+        # the emitted term by beta here AND the whole per-bounce radiance
+        # by beta below (path.rs:126-137); we reproduce that exactly for
+        # image parity.
+        emit_mask = specular_bounce | (bounce == 0)
+        emitted = lights_mod.area_light_radiance(scene, si, -d)
+        bounce_radiance = bounce_radiance + jnp.where(
+            emit_mask[..., None], beta * emitted, 0.0
+        )
 
-            u = sampler.get_2d(ctx, dimn)
-            dimn = dimn + 2
+        if params.indirect_clamp is not None:
+            clamped = jnp.minimum(bounce_radiance, params.indirect_clamp)
+            bounce_radiance = jnp.where(bounce > 0, clamped, bounce_radiance)
+
+        radiance = radiance + jnp.where(
+            alive[..., None], beta * bounce_radiance, 0.0
+        )
+
+        u = sampler.get_2d(ctx, dimn)
+        dimn = dimn + 2
+        with pass_scope("shade.bsdf_sample"):
             bs = bsdf_mod.bsdf_sample(mp, si, si.wo, u, meta)
-            terminated = is_black(bs.f) | (bs.pdf == 0.0)
-            alive2 = alive & ~terminated
-            spec2 = bs.is_specular
+        terminated = is_black(bs.f) | (bs.pdf == 0.0)
+        alive = alive & ~terminated
+        specular_bounce = bs.is_specular
 
-            beta2 = beta * bs.f * (
-                jnp.abs(dot(bs.wi, si.ns)) / jnp.maximum(bs.pdf, 1e-30)
-            )[..., None]
-            # Guard against overflowing throughput (grazing microfacet
-            # pdfs can underflow in f32): a non-finite beta would turn
-            # inf*0 into NaN in later masked accumulations, so retire
-            # the lane instead.
-            finite = jnp.all(jnp.isfinite(beta2), axis=-1)
-            alive2 = alive2 & finite
-            beta2 = jnp.where(finite[..., None], beta2, 0.0)
-            # Park dead lanes at the scene center with a unit direction
-            # (and t_max=0 next bounce): see the cull-poisoning note at
-            # the top of the loop body.
-            o2 = jnp.where(alive2[..., None], spawn_ray(si, bs.wi), center)
-            d2 = jnp.where(alive2[..., None], bs.wi, _BENIGN_D)
+        beta = beta * bs.f * (
+            jnp.abs(dot(bs.wi, si.ns)) / jnp.maximum(bs.pdf, 1e-30)
+        )[..., None]
+        # Guard against overflowing throughput (grazing microfacet pdfs
+        # can underflow in f32): a non-finite beta would turn inf*0 into
+        # NaN in later masked accumulations, so retire the lane instead.
+        finite = jnp.all(jnp.isfinite(beta), axis=-1)
+        alive = alive & finite
+        beta = jnp.where(finite[..., None], beta, 0.0)
+        # Park dead lanes at the scene center with a unit direction (and
+        # t_max=0 next bounce): see the traversal-cull poisoning note at
+        # the top of the loop body.
+        o = jnp.where(alive[..., None], spawn_ray(si, bs.wi), center)
+        d = jnp.where(alive[..., None], bs.wi, _BENIGN_D)
 
-            # Russian roulette (path.rs:162-169), applied after bounce 3.
-            q = jnp.maximum(0.05, 1.0 - beta2[..., 1])
-            r = sampler.get_1d(ctx, dimn)
-            rr_on = bounce > 3
-            alive2 = alive2 & ~(rr_on & (r < q))
-            beta2 = jnp.where(
-                rr_on, beta2 / jnp.maximum(1.0 - q, 1e-30)[..., None],
-                beta2,
-            )
-            if deferred:
-                # Pending NEE for the next iteration: rays + raw
-                # contribs + this bounce's emit/beta/alive snapshots.
-                return (o2, d2, beta2, alive2, spec2,
-                        no, nd, nt, ns, nw, nc, ne, beta, alive)
-            return o2, d2, beta2, alive2, spec2
+        # Russian roulette (path.rs:162-169), applied after bounce 3.
+        q = jnp.maximum(0.05, 1.0 - beta[..., 1])
+        r = sampler.get_1d(ctx, dimn)
+        rr_on = bounce > 3
+        alive = alive & ~(rr_on & (r < q))
+        beta = jnp.where(
+            rr_on, beta / jnp.maximum(1.0 - q, 1e-30)[..., None], beta
+        )
 
-        def no_shade(_):
-            # Drain iteration (bounce == depth): no surface work — only
-            # the pending shadow resolution above matters.  Benign
-            # parked pend rays; pw/pa False zero every contribution.
-            parked_o = jnp.broadcast_to(center, o.shape)
-            parked_d = jnp.broadcast_to(_BENIGN_D, d.shape)
-            if deferred:
-                ln = n_lights * n
-                return (
-                    parked_o, parked_d, beta,
-                    jnp.zeros(shape, bool), specular_bounce,
-                    jnp.broadcast_to(center, (ln, 3)),
-                    jnp.broadcast_to(_BENIGN_D, (ln, 3)),
-                    jnp.zeros(ln), jnp.full(ln, -2, jnp.int32),
-                    jnp.zeros(ln, bool), jnp.zeros((ln, 3)),
-                    jnp.zeros(o.shape), beta, jnp.zeros(shape, bool),
-                )
-            return (parked_o, parked_d, beta,
-                    jnp.zeros(shape, bool), specular_bounce)
-
-        if deferred:
-            (o, d, beta, alive, specular_bounce,
-             po, pd_, pt, ps, pw, pc, pe, pb, pa) = jax.lax.cond(
-                bounce < depth, shade, no_shade, None
-            )
-            return (o, d, beta, radiance, alive, specular_bounce,
-                    ray_count, po, pd_, pt, ps, pw, pc, pe, pb, pa), None
-        o, d, beta, alive, specular_bounce = shade(None)
-        # No lights => no area lights => the emit term is identically
-        # zero, so nothing accumulates here (matches the reference's
-        # empty light fold + zero emitted radiance).
         return (o, d, beta, radiance, alive, specular_bounce,
                 ray_count), None
 
@@ -358,22 +353,8 @@ def path_li(scene, meta, params: PathParams, sampler: Sampler,
         jnp.zeros(shape, dtype=bool),
         jnp.zeros(shape, dtype=jnp.int32),
     )
-    if deferred:
-        ln = n_lights * n
-        init = init + (
-            jnp.broadcast_to(center, (ln, 3)),
-            jnp.broadcast_to(_BENIGN_D, (ln, 3)),
-            jnp.zeros(ln),
-            jnp.full(ln, -2, jnp.int32),
-            jnp.zeros(ln, bool),
-            jnp.zeros((ln, 3)),
-            jnp.zeros(o.shape),
-            jnp.ones(o.shape),
-            jnp.zeros(shape, bool),
-        )
-    steps = depth + 1 if deferred else depth
     carry, _ = jax.lax.scan(
-        body, init, jnp.arange(steps, dtype=jnp.int32)
+        body, init, jnp.arange(params.max_depth, dtype=jnp.int32)
     )
     radiance, ray_count = carry[3], carry[6]
     return LiResult(li=radiance, ray_count=ray_count)
