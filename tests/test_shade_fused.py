@@ -79,6 +79,61 @@ def test_fused_matches_xla_colonnade():
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
 
 
+def test_fused_matches_xla_point_spot():
+    """Point + spot light kernel branches (not exercised by Cornell's
+    rect or colonnade's rect+distant): single-bounce NEE on a matte
+    plane, fused vs XLA.  Also exercises the BLOCK_RAYS padding path
+    (n=160 rays)."""
+    from yuki_tpu.scene.data import SceneBuilder
+    from yuki_tpu import transforms as tf
+    from yuki_tpu import integrators as intg
+    from yuki_tpu.sampling import SampleCtx
+
+    b = SceneBuilder("pointspot")
+    m = b.add_matte(kd=(0.6, 0.5, 0.4), sigma=0.3)
+    s = 20.0
+    b.add_mesh(
+        tf.translation((0.0, 0.0, 0.0)),
+        np.array([[0, 1, 2], [0, 2, 3]], np.int32),
+        np.array([[-s, -s, 0], [s, -s, 0], [s, s, 0], [-s, s, 0]],
+                 np.float32),
+        material=m,
+    )
+    b.add_point_light(tf.translation((1.0, 0.0, 3.0)), (9.0, 8.0, 7.0))
+    b.add_spot_light(
+        tf.translation((-1.0, 0.5, 4.0)), (20.0, 20.0, 22.0),
+        total_width_deg=40.0, falloff_start_deg=20.0,
+    )
+    scene = b.build()
+
+    n = 160
+    x = np.linspace(-3.0, 3.0, n, dtype=np.float32)
+    o = jnp.asarray(np.stack([x, 0.1 * x, np.full(n, 5.0)], -1))
+    d = jnp.asarray(np.tile(np.array([[0, 0, -1.0]], np.float32), (n, 1)))
+    ctx = SampleCtx(
+        px=jnp.arange(n, dtype=jnp.int32),
+        py=jnp.zeros(n, jnp.int32),
+        sample_index=jnp.uint32(0), seed=jnp.uint32(3),
+    )
+
+    def li(mode):
+        old = integrators.FUSED_SHADE_MODE
+        integrators.FUSED_SHADE_MODE = mode
+        try:
+            return np.asarray(
+                intg.path_li(
+                    scene.data, scene.meta, PathParams(max_depth=3),
+                    UniformSampler(1), ctx, o, d,
+                ).li
+            )
+        finally:
+            integrators.FUSED_SHADE_MODE = old
+
+    ref = li("off")
+    got = li("interpret")
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=1e-6)
+
+
 def test_supported_gate():
     scene, _, _ = cornell()
     assert shade_fused.fused_shade_supported(
