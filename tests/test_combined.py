@@ -1,14 +1,15 @@
-"""Combined closest+shadow traversal (round 3): every closest engine
-accepts a per-lane ``skip_light`` (the reference's sampled-light
-exclusion, bvh.rs:287-293) so path_li can trace next-bounce rays and NEE
-shadow rays in ONE call.  Contracts:
+"""Per-lane ``skip_light`` contracts on every closest engine (the
+reference's sampled-light exclusion, bvh.rs:287-293):
 
   - skip_light = -2 everywhere is BITWISE the plain closest query;
   - for shadow-style lanes, ``intersect(skip).hit`` must equal
     ``any_intersect(skip)`` (occluded == any non-skipped hit before
-    t_max) on every engine;
-  - path_li's deferred-NEE restructure keeps the wave renderer
-    deterministic (covered by the regenerated golden + test_parallel).
+    t_max) on every engine.
+
+NOTE: the round-3 path_li COMBINED-trace restructure that motivated
+this plumbing was reverted (lane-proportional stage costs made it a
+net loss, see ARCHITECTURE.md) — the skip_light capability itself
+stays supported for callers that need it.
 """
 
 import numpy as np

@@ -259,7 +259,12 @@ def path_li(scene, meta, params: PathParams, sampler: Sampler,
                  ne) = shade_fused.shade_fused(
                     scene, meta, sampler, ctx, hit, o, d, beta, alive,
                     specular_bounce, dim0, bounce,
-                    interpret=FUSED_SHADE_MODE == "interpret",
+                    # Interpret off-TPU: both the explicit test mode and
+                    # traverse.FORCE_PALLAS_INTERPRET (which makes
+                    # _use_pallas() true on the CPU backend) must not
+                    # attempt a real Mosaic lowering.
+                    interpret=(FUSED_SHADE_MODE == "interpret"
+                               or traverse.FORCE_PALLAS_INTERPRET),
                 )
             with pass_scope("trace.occlusion"):
                 occ = traverse.any_intersect(
