@@ -166,13 +166,13 @@ def main():
     scene_c, cam_c, _ = cornell()
     # Dense-mode waves amortize best large (wave_size_sweep: 33 Mrays/s at
     # 4096 tiles vs 1.5 at 256).
-    # samples_per_launch=4 folds the whole 4-spp pass over each wave into
-    # one dispatch: the fixed ~25 ms tunnel round trip per dispatch is
-    # comparable to Cornell's per-sample wave work, so batching it 4x is
-    # ~1.3x e2e (benchmarks/r3_dispatch_latency.py).
-    cornell_stats = bench_scene(scene_c, cam_c, (1920, 1080), spp=4,
+    # samples_per_launch=16 folds a 16-spp pass over each wave into one
+    # dispatch (a lax.scan over samples — compile-cheap): the fixed
+    # ~80 ms remote dispatch round trip (benchmarks/r3_outxfer.py) was
+    # ~36% of the spl=4 e2e; at 16 it is ~9%.
+    cornell_stats = bench_scene(scene_c, cam_c, (1920, 1080), spp=16,
                                 max_depth=5, wave_tiles=4096,
-                                samples_per_launch=4)
+                                samples_per_launch=16)
 
     scene_l, cam_l, _ = colonnade()
     colonnade_stats = bench_scene(

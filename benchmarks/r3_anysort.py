@@ -60,7 +60,9 @@ def main():
 
     # Capture bounce-b shadow waves by running path_li to depth b and
     # reconstructing the NEE batch at the last surface.
-    @jax.jit
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=(2,))
     def shadow_wave(o, d, depth):
         # March `depth` bounces, then build the NEE batch at that surface.
         beta = jnp.ones_like(o)

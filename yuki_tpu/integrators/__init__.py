@@ -242,9 +242,10 @@ def path_li(scene, meta, params: PathParams, sampler: Sampler,
 
         # Miss: background, terminate (path.rs:155-160).
         missed = alive & ~hit.hit
-        radiance = radiance + jnp.where(
-            missed[..., None], beta * scene.background, 0.0
-        )
+        if not use_fused:
+            radiance = radiance + jnp.where(
+                missed[..., None], beta * scene.background, 0.0
+            )
         alive = alive & hit.hit
 
         if use_fused:
@@ -254,35 +255,28 @@ def path_li(scene, meta, params: PathParams, sampler: Sampler,
             # (tests/test_shade_fused.py proves render parity).
             from ..ops import shade_fused
 
+            interp = (FUSED_SHADE_MODE == "interpret"
+                      or traverse.FORCE_PALLAS_INTERPRET)
             with pass_scope("shade.fused"):
                 (o2, d2, beta2, alive2, spec2, no, nd, nt, ns_k, nw, nc,
                  ne) = shade_fused.shade_fused(
                     scene, meta, sampler, ctx, hit, o, d, beta, alive,
-                    specular_bounce, dim0, bounce,
-                    # Interpret off-TPU: both the explicit test mode and
-                    # traverse.FORCE_PALLAS_INTERPRET (which makes
-                    # _use_pallas() true on the CPU backend) must not
-                    # attempt a real Mosaic lowering.
-                    interpret=(FUSED_SHADE_MODE == "interpret"
-                               or traverse.FORCE_PALLAS_INTERPRET),
+                    specular_bounce, dim0, bounce, interpret=interp,
                 )
             with pass_scope("trace.occlusion"):
                 occ = traverse.any_intersect(
                     scene, meta, no, nd, nt, ns_k, skip_sort=True
                 )
-            # ne is the kernel's beta*emitted term; the outer beta at
-            # accumulation reproduces the reference's double-beta emit
-            # quirk exactly (path.rs:126-137).
-            bounce_radiance = _nee_resolve(occ, nw, nc, shape, n_lights)
-            bounce_radiance = bounce_radiance + ne
-            if params.indirect_clamp is not None:
-                clamped = jnp.minimum(bounce_radiance, params.indirect_clamp)
-                bounce_radiance = jnp.where(
-                    bounce > 0, clamped, bounce_radiance
+            # Second fused pass: NEE resolve + the kernel's beta*emitted
+            # term (the outer beta below reproduces the reference's
+            # double-beta emit quirk, path.rs:126-137) + indirect clamp
+            # + miss background + radiance update, all in-kernel.
+            with pass_scope("shade.resolve"):
+                radiance = shade_fused.resolve_fused(
+                    scene, radiance, beta, alive, missed, ne, occ, nw,
+                    nc, bounce, n_lights, params.indirect_clamp,
+                    interpret=interp,
                 )
-            radiance = radiance + jnp.where(
-                alive[..., None], beta * bounce_radiance, 0.0
-            )
             return (o2, d2, beta2, radiance, alive2, spec2,
                     ray_count), None
 

@@ -827,6 +827,179 @@ def _shade_kernel(sc_ref, rh_ref, tr_ref, mp_ref, ph_ref, lt_ref, sp_ref,
 
 
 # --------------------------------------------------------------------
+# Resolve kernel: everything between the occlusion verdict and the next
+# trace — NEE resolve (path.rs:102-124 fold tail), the emit term, the
+# indirect clamp, the background miss term, and the radiance update —
+# fused so the per-bounce XLA remainder materializes nothing.
+# --------------------------------------------------------------------
+
+
+def _resolve_kernel(sc_ref, rh_ref, nee_ref, out_ref, *, n_lights,
+                    has_clamp):
+    """rh [16,8,128]: radiance xyz 0-2, beta xyz 3-5, alive 6, missed 7,
+    ne xyz 8-10, bgx 11, bgy 12, bgz 13, clamp 14, pad 15 (bg/clamp ride
+    as broadcast planes: they are per-render constants but traced).
+    nee [4*L,8,128]: per light occ, worth, then contrib xyz interleaved
+    (occ_0, worth_0, cx_0, cy_0 ... wait — layout is [L, 5] rows:
+    occ, cx, cy, cz, worth).  out [4,8,128]: radiance2 xyz + pad."""
+    bounce = sc_ref[1]
+    rad = (rh_ref[0], rh_ref[1], rh_ref[2])
+    beta = (rh_ref[3], rh_ref[4], rh_ref[5])
+    alive = rh_ref[6] > 0.0
+    missed = rh_ref[7] > 0.0
+    ne = (rh_ref[8], rh_ref[9], rh_ref[10])
+    bg = (rh_ref[11], rh_ref[12], rh_ref[13])
+    clamp_v = rh_ref[14]
+    zero = jnp.zeros_like(rh_ref[0])
+
+    # background on miss (path.rs:155-160)
+    rad = _where3(
+        missed,
+        (rad[0] + beta[0] * bg[0], rad[1] + beta[1] * bg[1],
+         rad[2] + beta[2] * bg[2]),
+        rad,
+    )
+
+    br = ne
+    for li in range(n_lights):
+        b = 5 * li
+        occ = nee_ref[b] > 0.0
+        cx, cy, cz = nee_ref[b + 1], nee_ref[b + 2], nee_ref[b + 3]
+        worth = nee_ref[b + 4] > 0.0
+        lit = worth & ~occ
+        br = (
+            br[0] + jnp.where(lit, cx, zero),
+            br[1] + jnp.where(lit, cy, zero),
+            br[2] + jnp.where(lit, cz, zero),
+        )
+    if has_clamp:
+        clamped = (
+            jnp.minimum(br[0], clamp_v),
+            jnp.minimum(br[1], clamp_v),
+            jnp.minimum(br[2], clamp_v),
+        )
+        past0 = (zero + (bounce > 0).astype(jnp.float32)) > 0.5
+        br = _where3(past0, clamped, br)
+    rad = _where3(
+        alive,
+        (rad[0] + beta[0] * br[0], rad[1] + beta[1] * br[1],
+         rad[2] + beta[2] * br[2]),
+        rad,
+    )
+    out_ref[0] = rad[0]
+    out_ref[1] = rad[1]
+    out_ref[2] = rad[2]
+    out_ref[3] = zero
+
+
+def resolve_fused(scene, radiance, beta, alive, missed, ne, occ, worth,
+                  contrib, bounce, n_lights: int, indirect_clamp,
+                  interpret: bool = False):
+    """Fused NEE-resolve + emit + clamp + miss-background + radiance
+    update.  occ/worth [L*N] light-major, contrib [L*N,3]; returns the
+    updated radiance [N,3].  Bitwise policy matches path_li's XLA form
+    (same select/add order)."""
+    n0 = radiance.shape[0]
+    n = -(-n0 // BLOCK_RAYS) * BLOCK_RAYS
+    pad = n - n0
+
+    def padv(a, fill=0.0):
+        if pad == 0:
+            return a
+        if a.ndim == 1:
+            return jnp.concatenate([a, jnp.full(pad, fill, a.dtype)])
+        return jnp.concatenate(
+            [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)]
+        )
+
+    def padl(a):
+        """light-major [L*n0] -> [L*n] (pad each light block)."""
+        if pad == 0:
+            return a.reshape(n_lights, n0)
+        return jnp.concatenate(
+            [a.reshape(n_lights, n0),
+             jnp.zeros((n_lights, pad), a.dtype)], axis=1,
+        )
+
+    radiance = padv(radiance)
+    beta = padv(beta)
+    alive = padv(alive, False)
+    missed = padv(missed, False)
+    ne = padv(ne)
+    occ2 = padl(occ.astype(jnp.float32))
+    worth2 = padl(worth.astype(jnp.float32))
+    c2 = (
+        contrib.reshape(n_lights, n0, 3)
+        if pad == 0
+        else jnp.concatenate(
+            [contrib.reshape(n_lights, n0, 3),
+             jnp.zeros((n_lights, pad, 3))], axis=1,
+        )
+    )
+    rows = n // LANES
+
+    def pl_(a):
+        return a.reshape(rows, LANES)
+
+    bgc = scene.background
+    clamp_v = (
+        jnp.float32(0.0) if indirect_clamp is None
+        else jnp.asarray(indirect_clamp, jnp.float32)
+    )
+    rh = jnp.stack(
+        [pl_(radiance[:, 0]), pl_(radiance[:, 1]), pl_(radiance[:, 2]),
+         pl_(beta[:, 0]), pl_(beta[:, 1]), pl_(beta[:, 2]),
+         pl_(alive.astype(jnp.float32)),
+         pl_(missed.astype(jnp.float32)),
+         pl_(ne[:, 0]), pl_(ne[:, 1]), pl_(ne[:, 2]),
+         pl_(jnp.broadcast_to(bgc[0], (n,))),
+         pl_(jnp.broadcast_to(bgc[1], (n,))),
+         pl_(jnp.broadcast_to(bgc[2], (n,))),
+         pl_(jnp.broadcast_to(clamp_v, (n,))),
+         pl_(jnp.zeros(n))], axis=0,
+    )
+    nee_planes = []
+    for li in range(n_lights):
+        nee_planes += [
+            pl_(occ2[li]), pl_(c2[li, :, 0]), pl_(c2[li, :, 1]),
+            pl_(c2[li, :, 2]), pl_(worth2[li]),
+        ]
+    npad = (-len(nee_planes)) % 8
+    nee_planes += [pl_(jnp.zeros(n))] * npad
+    nee = jnp.stack(nee_planes, axis=0)
+
+    sc = jnp.stack([
+        jnp.int32(0), jnp.asarray(bounce, jnp.int32).reshape(()),
+        jnp.int32(0), jnp.int32(0),
+    ])
+    grid = rows // 8
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((16, 8, LANES), lambda p, s: (0, p, 0)),
+            pl.BlockSpec(
+                (nee.shape[0], 8, LANES), lambda p, s: (0, p, 0)
+            ),
+        ],
+        out_specs=[pl.BlockSpec((4, 8, LANES), lambda p, s: (0, p, 0))],
+    )
+    (out,) = pl.pallas_call(
+        functools.partial(
+            _resolve_kernel, n_lights=n_lights,
+            has_clamp=indirect_clamp is not None,
+        ),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((4, rows, LANES), jnp.float32)],
+        interpret=interpret,
+    )(sc, rh, nee)
+    return jnp.stack(
+        [out[0].reshape(n)[:n0], out[1].reshape(n)[:n0],
+         out[2].reshape(n)[:n0]], axis=-1,
+    )
+
+
+# --------------------------------------------------------------------
 # Host-side driver
 # --------------------------------------------------------------------
 

@@ -125,12 +125,24 @@ def make_wave_renderer(
 
     def render_wave(data, origins, sample_index, seed):
         pixels, rays = render_one(data, origins, sample_index, seed)
-        for k in range(1, samples_per_launch):
-            p_k, r_k = render_one(
-                data, origins, sample_index + jnp.int32(k), seed
+        if samples_per_launch > 1:
+            # lax.scan instead of Python unrolling: the (large) per-sample
+            # body compiles ONCE regardless of samples_per_launch, so big
+            # launch batches (which amortize the ~80 ms remote-dispatch
+            # round trip, benchmarks/r3_outxfer.py) stay compile-cheap.
+            # Sequential carry adds keep the sum bitwise identical to the
+            # unrolled loop (test_samples_per_launch_bitwise).
+            def step(carry, k):
+                px_c, r_c = carry
+                p_k, r_k = render_one(
+                    data, origins, sample_index + k, seed
+                )
+                return (px_c + p_k, r_c + r_k), None
+
+            (pixels, rays), _ = jax.lax.scan(
+                step, (pixels, rays),
+                jnp.arange(1, samples_per_launch, dtype=jnp.int32),
             )
-            pixels = pixels + p_k
-            rays = rays + r_k
         return pixels, rays
 
     jitted = jax.jit(render_wave)
@@ -380,22 +392,25 @@ def _render_job_inner(
                 report(wave_rays, time.monotonic() - t0, len(wave))
             else:
                 acc = None
+                rays_acc = None
+                t0 = time.monotonic()
                 for s in range(0, spp, spl):
                     if cancel.is_set():
                         return
-                    t0 = time.monotonic()
                     # render_fn returns the SUM over spl consecutive
-                    # sample generations (one dispatch).
+                    # sample generations (one dispatch).  Rays accumulate
+                    # ON DEVICE: a float() here would sync the remote
+                    # dispatch pipeline every launch (~80 ms round trip,
+                    # benchmarks/r3_outxfer.py) — one sync per wave keeps
+                    # counts exact and the pipeline full.
                     px, rays = render_fn(
                         jnp.asarray(origins), jnp.int32(s), jnp.uint32(seed)
                     )
                     acc = px if acc is None else acc + px
-                    sample_rays = float(rays)
-                    total_rays += int(sample_rays)
-                    # Per-sample progress: parity with the reference's
-                    # per-sample tile generations (render_manager.rs:283-317).
-                    report(sample_rays, time.monotonic() - t0,
-                           len(wave) * spl)
+                    rays_acc = rays if rays_acc is None else rays_acc + rays
+                wave_rays = float(rays_acc)
+                total_rays += int(wave_rays)
+                report(wave_rays, time.monotonic() - t0, len(wave) * spp)
                 # One generation holding the spp-sample *average* so the
                 # film's count-normalize yields the reference's mean.
                 if film.generation == film_generation:
