@@ -357,23 +357,20 @@ def _matte_f(has_sigma, kd, s0, wo_l, wi_l):
 # --------------------------------------------------------------------
 
 
-def _shade_kernel(sc_ref, rh_ref, tr_ref, mp_ref, ph_ref, lt_ref, sp_ref,
-                  ms_ref, out_ref, *, n_lights, light_types, n_spheres,
-                  present, has_sigma, has_clamp):
-    """One grid step shades BLOCK_RAYS rays.
-
-    refs: sc (scalar prefetch i32 [4]: dim0, bounce, sample_index unused
-    in-kernel, flags), rh [16,8,128] rays/hit/carry, tr [32,8,128] tri
-    shading row planes, mp [16,8,128] material row planes (kd/s0
-    texture-resolved), ph [1,8,128] i32 pcg(pixel_hash^sample_index),
-    lt [L,32] light table, sp [S,40] sphere table, ms [1,128] misc
-    (center xyz, diag), out [OP,8,128]."""
-    dim0 = sc_ref[0]
-    bounce = sc_ref[1]
-
-    def rh(name):
-        return rh_ref[_RH[name]]
-
+def _shade_body(dim0, bounce, rh, tr, mp, ltab, spm, center, diag, ph_base,
+                *, n_lights, light_types, n_spheres, present, has_sigma):
+    """The whole per-bounce shading chain on (8,128) SoA planes, reader-
+    callback form so multiple kernels share ONE source of truth for the
+    math (parity-tested against the XLA chain):
+      rh(name) -> ray/hit/carry plane (indices _RH)
+      tr(i)    -> triangle shading-row plane i (scene.tris.shading_packed
+                  column i, gathered per lane by the caller — either from
+                  pre-gathered input planes or an in-kernel one-hot select)
+      mp(name) -> material plane (_MP; kd/s0 already texture-resolved)
+      ltab(li,i) -> light-table scalar, spm(s,i) -> sphere-table scalar
+      center (3 scalars) / diag: scene bounds info for ray parking
+    Returns (o2, d2, beta2[3], alive2, spec2, ne[3], nee) where nee is a
+    per-light list of (o_s[3], d_s[3], t_s, worth, contrib[3])."""
     o = (rh("ox"), rh("oy"), rh("oz"))
     d = (rh("dx"), rh("dy"), rh("dz"))
     wo = _neg(d)
@@ -383,9 +380,6 @@ def _shade_kernel(sc_ref, rh_ref, tr_ref, mp_ref, ph_ref, lt_ref, sp_ref,
     sph = rh("sph")
     alive = rh("alive") > 0.0
     beta = (rh("bx"), rh("by"), rh("bz"))
-
-    def tr(i):
-        return tr_ref[i]
 
     # ---- triangle surface (surface.make_surface port) ----------------
     p0 = (tr(0), tr(1), tr(2))
@@ -440,8 +434,8 @@ def _shade_kernel(sc_ref, rh_ref, tr_ref, mp_ref, ph_ref, lt_ref, sp_ref,
     for s in range(n_spheres):
         sel = sph == float(s)
 
-        def m(i):  # sphere table scalars
-            return sp_ref[s, i]
+        def m(i, _s=s):  # sphere table scalars
+            return spm(_s, i)
 
         # w2o rows 0..15, o2w rows 16..31, radius 32, swaps 33
         ro = (
@@ -504,9 +498,6 @@ def _shade_kernel(sc_ref, rh_ref, tr_ref, mp_ref, ph_ref, lt_ref, sp_ref,
     ts_frame = _cross(ns, ss)  # Surface.frame_t
 
     # ---- materials (gather tail: alpha resolve) -----------------------
-    def mp(name):
-        return mp_ref[_MP[name]]
-
     mtype = mp("mtype").astype(jnp.int32)
     kd = (mp("kdx"), mp("kdy"), mp("kdz"))
     c1 = (mp("c1x"), mp("c1y"), mp("c1z"))
@@ -520,8 +511,6 @@ def _shade_kernel(sc_ref, rh_ref, tr_ref, mp_ref, ph_ref, lt_ref, sp_ref,
     rough = jnp.where(remap, r2a, s0)
     rough = jnp.where(mtype == MAT_GLOSSY, rough * rough, rough)
     alpha = jnp.maximum(rough, 1e-3)
-
-    ph_base = ph_ref[0]
 
     def matte_f(wo_l, wi_l):
         return _matte_f(has_sigma, kd, s0, wo_l, wi_l)
@@ -545,20 +534,18 @@ def _shade_kernel(sc_ref, rh_ref, tr_ref, mp_ref, ph_ref, lt_ref, sp_ref,
             )
         return _where3(reflect, f, (zero, zero, zero))
 
-    center = (ms_ref[0, 0], ms_ref[0, 1], ms_ref[0, 2])
-    diag = ms_ref[0, 3]
     zero = jnp.zeros_like(b0)
 
     # ---- NEE setup per light (static unroll) --------------------------
-    geo_front = None  # spawn side
+    nee = []
     for li_idx in range(n_lights):
         ltype = light_types[li_idx]
         dim_li = dim0 + jnp.int32(2 * li_idx)
         u0 = _dim_f32(ph_base, dim_li)
         u1 = _dim_f32(ph_base, dim_li + jnp.int32(1))
 
-        def lt(i):
-            return lt_ref[li_idx, i]
+        def lt(i, _li=li_idx):
+            return ltab(_li, i)
 
         # light row: ltype 0 unused here; p 1..3; i 4..6; m 7..22
         # (row-major 4x4); area 23; cos_w 24; cos_f 25
@@ -642,19 +629,7 @@ def _shade_kernel(sc_ref, rh_ref, tr_ref, mp_ref, ph_ref, lt_ref, sp_ref,
             f_nee[c] * li_v[c] * (cos_ / jnp.maximum(pdf, 1e-30))
             for c in range(3)
         )
-        ob = _N_FIXED_OUT + _N_PER_LIGHT * li_idx
-        out_ref[ob + 0] = o_s[0]
-        out_ref[ob + 1] = o_s[1]
-        out_ref[ob + 2] = o_s[2]
-        out_ref[ob + 3] = d_s[0]
-        out_ref[ob + 4] = d_s[1]
-        out_ref[ob + 5] = d_s[2]
-        out_ref[ob + 6] = t_s
-        out_ref[ob + 7] = worth.astype(jnp.float32)
-        out_ref[ob + 8] = contrib[0]
-        out_ref[ob + 9] = contrib[1]
-        out_ref[ob + 10] = contrib[2]
-        out_ref[ob + 11] = zero
+        nee.append((o_s, d_s, t_s, worth, contrib))
 
     # ---- emitted (area_light_radiance, one-hot over L lights) --------
     # Scalar conditions broadcast by arithmetic (Mosaic-safe).
@@ -665,8 +640,8 @@ def _shade_kernel(sc_ref, rh_ref, tr_ref, mp_ref, ph_ref, lt_ref, sp_ref,
         sel = area_light == float(li_idx)
         le = _where3(
             sel,
-            (lt_ref[li_idx, 4] + zero, lt_ref[li_idx, 5] + zero,
-             lt_ref[li_idx, 6] + zero),
+            (ltab(li_idx, 4) + zero, ltab(li_idx, 5) + zero,
+             ltab(li_idx, 6) + zero),
             le,
         )
     front_e = _dot(n, wo) > 0.0
@@ -677,9 +652,6 @@ def _shade_kernel(sc_ref, rh_ref, tr_ref, mp_ref, ph_ref, lt_ref, sp_ref,
         (beta[0] * emitted[0], beta[1] * emitted[1], beta[2] * emitted[2]),
         (zero, zero, zero),
     )
-    out_ref[_OUT["nex"]] = ne[0]
-    out_ref[_OUT["ney"]] = ne[1]
-    out_ref[_OUT["nez"]] = ne[2]
 
     # ---- bsdf_sample --------------------------------------------------
     dim_b = dim0 + jnp.int32(2 * n_lights)
@@ -811,6 +783,52 @@ def _shade_kernel(sc_ref, rh_ref, tr_ref, mp_ref, ph_ref, lt_ref, sp_ref,
     inv_keep = 1.0 / jnp.maximum(1.0 - q, 1e-30)
     beta2 = _where3(rr_on, _scale(beta2, inv_keep), beta2)
 
+    return o2, d2v, beta2, alive2, spec2, ne, nee
+
+
+def _shade_kernel(sc_ref, rh_ref, tr_ref, mp_ref, ph_ref, lt_ref, sp_ref,
+                  ms_ref, out_ref, *, n_lights, light_types, n_spheres,
+                  present, has_sigma, has_clamp):
+    """One grid step shades BLOCK_RAYS rays (thin wrapper over
+    _shade_body reading pre-gathered input planes).
+
+    refs: sc (scalar prefetch i32 [4]: dim0, bounce, sample_index unused
+    in-kernel, flags), rh [16,8,128] rays/hit/carry, tr [32,8,128] tri
+    shading row planes, mp [16,8,128] material row planes (kd/s0
+    texture-resolved), ph [1,8,128] i32 pcg(pixel_hash^sample_index),
+    lt [L,32] light table, sp [S,40] sphere table, ms [1,128] misc
+    (center xyz, diag), out [OP,8,128]."""
+    o2, d2v, beta2, alive2, spec2, ne, nee = _shade_body(
+        sc_ref[0], sc_ref[1],
+        rh=lambda name: rh_ref[_RH[name]],
+        tr=lambda i: tr_ref[i],
+        mp=lambda name: mp_ref[_MP[name]],
+        ltab=lambda li, i: lt_ref[li, i],
+        spm=lambda s, i: sp_ref[s, i],
+        center=(ms_ref[0, 0], ms_ref[0, 1], ms_ref[0, 2]),
+        diag=ms_ref[0, 3],
+        ph_base=ph_ref[0],
+        n_lights=n_lights, light_types=light_types,
+        n_spheres=n_spheres, present=present, has_sigma=has_sigma,
+    )
+    zero = jnp.zeros_like(o2[0])
+    for li_idx, (o_s, d_s, t_s, worth, contrib) in enumerate(nee):
+        ob = _N_FIXED_OUT + _N_PER_LIGHT * li_idx
+        out_ref[ob + 0] = o_s[0]
+        out_ref[ob + 1] = o_s[1]
+        out_ref[ob + 2] = o_s[2]
+        out_ref[ob + 3] = d_s[0]
+        out_ref[ob + 4] = d_s[1]
+        out_ref[ob + 5] = d_s[2]
+        out_ref[ob + 6] = t_s
+        out_ref[ob + 7] = worth.astype(jnp.float32)
+        out_ref[ob + 8] = contrib[0]
+        out_ref[ob + 9] = contrib[1]
+        out_ref[ob + 10] = contrib[2]
+        out_ref[ob + 11] = zero
+    out_ref[_OUT["nex"]] = ne[0]
+    out_ref[_OUT["ney"]] = ne[1]
+    out_ref[_OUT["nez"]] = ne[2]
     out_ref[_OUT["o2x"]] = o2[0]
     out_ref[_OUT["o2y"]] = o2[1]
     out_ref[_OUT["o2z"]] = o2[2]
@@ -1006,25 +1024,22 @@ def resolve_fused(scene, radiance, beta, alive, missed, ne, occ, worth,
 
 def fused_shade_supported(scene, meta, sampler) -> bool:
     """Static gate: everything path_li's shade() needs must be
-    expressible in the kernel."""
+    expressible in the kernel.
+
+    Decided from SceneMeta STATICS only.  The round-3 version probed
+    np.asarray(scene.spheres.material) — under jit tracing (production:
+    scene arrays are jit ARGUMENTS) that raises TracerArrayConversionError,
+    which the try/except swallowed into False, silently running the slow
+    XLA shading chain for every sphere scene (Cornell included) in every
+    production render while all fused-path benchmarks (concrete arrays)
+    showed the kernel winning.  Round-4 fix + regression test
+    (tests/test_round4.py::test_fused_gate_under_tracing)."""
     from ..sampling import UniformSampler
 
     if not isinstance(sampler, UniformSampler):
         return False
     # Sphere lanes skip uv: every sphere material must be untextured.
-    import numpy as np
-
-    n_spheres = int(scene.spheres.radius.shape[0])
-    if n_spheres:
-        try:
-            smat = np.asarray(scene.spheres.material)
-            t0 = np.asarray(scene.materials.tex0)[smat]
-            t1 = np.asarray(scene.materials.tex1)[smat]
-            if (t0 >= 0).any() or (t1 >= 0).any():
-                return False
-        except Exception:
-            return False
-    return True
+    return meta.n_spheres == 0 or meta.sphere_mats_untextured
 
 
 def shade_fused(scene, meta, sampler, ctx, hit, o, d, beta, alive,

@@ -223,6 +223,12 @@ class SceneMeta:
     c_closest: int = 64
     bun_any: int = 1
     c_any: int = 96
+    # Every sphere's material binds no texture (static fact for the fused
+    # shading kernels, which skip sphere UV).  MUST live here, not be
+    # probed from device arrays: the round-3 gate np.asarray'd traced
+    # scene arrays inside jit, silently disabling the fused path for
+    # every sphere scene in production (round-4 finding).
+    sphere_mats_untextured: bool = True
 
 
 @dataclass
@@ -680,5 +686,10 @@ class SceneBuilder:
                              if nt > DENSE_TRI_THRESHOLD else 4),
             bvh_max_leaf=bvh_host.max_leaf,
             traversal="dense" if nt <= DENSE_TRI_THRESHOLD else "treelet",
+            sphere_mats_untextured=all(
+                int(mats[s[4]]["tex0"]) < 0
+                and int(mats[s[4]].get("tex1", -1)) < 0
+                for s in self._spheres
+            ),
         )
         return Scene(data=data, meta=meta, bvh_host=bvh_host)
