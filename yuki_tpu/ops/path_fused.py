@@ -1,0 +1,787 @@
+"""Fully-fused dense-scene path tracing: the whole per-sample wave as
+Pallas kernels with plane-major state and ZERO per-bounce XLA work.
+
+Round-3 attribution (ARCHITECTURE.md "Cornell end-of-round-3"): with the
+shade megakernel landed, Cornell's remaining per-wave cost was ~35 ms of
+XLA input plane packing around the kernels, ~23 ms of path_li loop glue,
+and ~14 ms of XLA texture chain — versus a 15.5 ms trace+occlusion
+floor.  This module removes ALL of it for small dense scenes:
+
+  raygen kernel   sampler pixel hash + camera jitter + camera ray +
+                  closest-hit trace (unrolled watertight triangles +
+                  object-space spheres), all in one kernel
+  bounce kernel   per bounce: miss/background -> one-hot triangle and
+                  material row selects from VMEM tables -> MXU texel
+                  select -> the full _shade_body chain (shade_fused.py,
+                  parity-tested) -> in-kernel NEE occlusion sweeps ->
+                  resolve -> next-ray closest-hit trace
+
+State crosses bounces as one [24, rows, 128] f32 plane stack carried by
+a lax.scan whose body is a single pallas_call — the only XLA per sample
+is the scalar bookkeeping.
+
+The texture fetch is the one per-lane gather Mosaic cannot express
+directly; it becomes an EXACT MXU one-hot select: the texel pool rides
+in VMEM as [768, Q] bf16 integers (u8 texel values 0..255 are exact in
+bf16), each sublane-group's row one-hot [Q,128] selects the pool column
+per lane on the MXU, and a column mask + sublane reduction picks the
+final texel — f32-accumulated products of one-hot rows are exact, so
+the result equals the XLA gather bit-for-bit (including the final /255,
+an IEEE f32 divide like the loader's).  Gated on
+meta.texpool_u8_exact (scene/data.py stores the integer pool).
+
+Reference parity: the per-bounce semantics are path.rs:48-178 exactly as
+path_li's XLA chain implements them (integrators/__init__.py); the
+trace is the watertight test of shapes/triangle.rs:49-130 and the
+stable-q sphere quadratic of shapes/sphere.rs:37-89.
+
+Support gate (wave_supported): UniformSampler, dense traversal with
+n_tris <= 64 (static unroll bound), untextured sphere materials, no
+sigma textures, u8-exact texel pool <= 65536 texels.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..scene.data import LIGHT_RECT
+from .shade_fused import (
+    _pcg,
+    _dim_f32,
+    _shade_body,
+    _where3,
+)
+from .trace import F32_MAX, _watertight, pack_triangles
+
+LANES = 128
+BLOCK = 8 * LANES  # rays per grid step
+MAX_TRIS = 64  # static-unroll gate (matches trace.UNROLL_TRIS)
+TEXPOOL_MAX = 65536  # one-hot select cost is linear in pool size
+
+# Carry plane indices (f32 [24, rows, 128]).
+_ST = dict(
+    ox=0, oy=1, oz=2, dx=3, dy=4, dz=5,
+    bx=6, by=7, bz=8, rx=9, ry=10, rz=11,
+    alive=12, spec=13, rc=14,
+    t=15, b0=16, b1=17, prim=18, sph=19, hitf=20,
+    pad0=21, pad1=22, pad2=23,
+)
+_N_ST = 24
+
+# Misc scalar-table slots ([1,128] f32): raster_to_camera rows 0-15,
+# camera_to_world rows 16-31, scene center 32-34, diag 35, background
+# 36-38, indirect clamp 39.
+_MS_R2C = 0
+_MS_C2W = 16
+_MS_CENTER = 32
+_MS_DIAG = 35
+_MS_BG = 36
+_MS_CLAMP = 39
+
+
+# --------------------------------------------------------------------
+# In-kernel scene intersection (parity: traverse.intersect dense path)
+# --------------------------------------------------------------------
+
+
+def _tri_cols(tri_ref, i):
+    return [tri_ref[i, k] for k in range(9)]
+
+
+def _tri_closest(tri_ref, n_tris, o, d, t_max):
+    """Unrolled watertight sweep; same loop/update order as
+    ops/trace._dense_kernel (first-lowest index wins scaled ties)."""
+    shape = o[0].shape
+    t = t_max
+    prim = jnp.full(shape, -1, dtype=jnp.int32)
+    b0 = jnp.zeros(shape, dtype=jnp.float32)
+    b1 = jnp.zeros(shape, dtype=jnp.float32)
+    for i in range(n_tris):
+        hit, ti, bi0, bi1 = _watertight(
+            o[0], o[1], o[2], d[0], d[1], d[2], t, _tri_cols(tri_ref, i)
+        )
+        closer = hit & (ti < t)
+        t = jnp.where(closer, ti, t)
+        prim = jnp.where(closer, i, prim)
+        b0 = jnp.where(closer, bi0, b0)
+        b1 = jnp.where(closer, bi1, b1)
+    return t, prim, b0, b1
+
+
+def _spheres_closest(sp_ref, n_spheres, o, d, t_max):
+    """intersect.ray_spheres port on planes (stable-q quadratic,
+    sphere.rs:37-89); scalar table reads per sphere."""
+    shape = o[0].shape
+    best_t = jnp.full(shape, F32_MAX, dtype=jnp.float32)
+    best_i = jnp.full(shape, -1, dtype=jnp.int32)
+    for s in range(n_spheres):
+        def m(i, _s=s):
+            return sp_ref[_s, i]
+
+        ro = (
+            m(0) * o[0] + m(1) * o[1] + m(2) * o[2] + m(3),
+            m(4) * o[0] + m(5) * o[1] + m(6) * o[2] + m(7),
+            m(8) * o[0] + m(9) * o[1] + m(10) * o[2] + m(11),
+        )
+        rd = (
+            m(0) * d[0] + m(1) * d[1] + m(2) * d[2],
+            m(4) * d[0] + m(5) * d[1] + m(6) * d[2],
+            m(8) * d[0] + m(9) * d[1] + m(10) * d[2],
+        )
+        radius = m(32)
+        a = rd[0] * rd[0] + rd[1] * rd[1] + rd[2] * rd[2]
+        b = 2.0 * (rd[0] * ro[0] + rd[1] * ro[1] + rd[2] * ro[2])
+        c = ro[0] * ro[0] + ro[1] * ro[1] + ro[2] * ro[2] - radius * radius
+        discrim = b * b - 4.0 * a * c
+        has_root = discrim >= 0.0
+        rt = jnp.sqrt(jnp.maximum(discrim, 0.0))
+        q = jnp.where(b < 0.0, -0.5 * (b - rt), -0.5 * (b + rt))
+        t0 = q / a
+        t1 = c / jnp.where(q == 0.0, 1e-30, q)
+        lo_t = jnp.minimum(t0, t1)
+        hi_t = jnp.maximum(t0, t1)
+        miss = (lo_t > t_max) | (hi_t <= 0.0)
+        t = jnp.where(lo_t <= 0.0, hi_t, lo_t)
+        miss = miss | (t > t_max) | ~has_root
+        closer = ~miss & (t < best_t)
+        best_t = jnp.where(closer, t, best_t)
+        best_i = jnp.where(closer, s, best_i)
+    return best_t, best_i
+
+
+def _trace_scene(tri_ref, sp_ref, n_tris, n_spheres, o, d, t_max):
+    """Scene closest hit (traverse.intersect dense semantics: triangles
+    then brute-force spheres, sphere wins strict t ties lose).  Returns
+    f32 planes (t, prim, b0, b1, sph, hitf)."""
+    t, prim, b0, b1 = _tri_closest(tri_ref, n_tris, o, d, t_max)
+    if n_spheres:
+        st_, si_ = _spheres_closest(sp_ref, n_spheres, o, d, t_max)
+        sphere_wins = (si_ >= 0) & (st_ < t)
+        hit = (prim >= 0) | sphere_wins
+        t = jnp.where(sphere_wins, st_, t)
+        prim = jnp.where(sphere_wins, -1, prim)
+        sph = jnp.where(sphere_wins, si_, -1)
+    else:
+        hit = prim >= 0
+        sph = jnp.full_like(prim, -1)
+    return (
+        t,
+        prim.astype(jnp.float32),
+        b0,
+        b1,
+        sph.astype(jnp.float32),
+        hit.astype(jnp.float32),
+    )
+
+
+def _occluded(tri_ref, trs_ref, sp_ref, n_tris, n_spheres, skip_id,
+              o, d, t_max):
+    """any_intersect parity: watertight any over triangles (skipping the
+    sampled area light's own triangles, bvh.rs:287-293; area-light id =
+    shading row col 27) OR any sphere hit."""
+    occ = jnp.zeros(o[0].shape, dtype=jnp.int32)
+    for i in range(n_tris):
+        hit, _, _, _ = _watertight(
+            o[0], o[1], o[2], d[0], d[1], d[2], t_max,
+            _tri_cols(tri_ref, i),
+        )
+        if skip_id >= 0:
+            hit = hit & (trs_ref[i, 27] != float(skip_id))
+        occ = occ | hit.astype(jnp.int32)
+    blocked = occ > 0
+    if n_spheres:
+        st_, si_ = _spheres_closest(sp_ref, n_spheres, o, d, t_max)
+        blocked = blocked | (si_ >= 0)
+    return blocked
+
+
+# --------------------------------------------------------------------
+# In-kernel one-hot table rows + MXU texel select
+# --------------------------------------------------------------------
+
+
+def _select_row(tab_ref, idx_f, cols):
+    """Per-lane row select from a small VMEM table by unrolled one-hot:
+    row 0 is the default (parity with the XLA drivers' max(idx, 0)
+    clamped gathers).  idx_f: f32 plane of integral ids."""
+    n_rows = tab_ref.shape[0]
+    zero = jnp.zeros_like(idx_f)
+    out = [tab_ref[0, j] + zero for j in cols]
+    for i in range(1, n_rows):
+        sel = idx_f == float(i)
+        for jj, j in enumerate(cols):
+            out[jj] = jnp.where(sel, tab_ref[i, j], out[jj])
+    return out
+
+
+def _texel_select(tex_ref, q, rem):
+    """Exact texel fetch on the MXU.
+
+    tex_ref: [768, Q] bf16 with tex_ref[ch*256 + c, qq] = u8 texel value
+    of pool index qq*256 + c, channel ch.  q/rem: (8,128) i32 planes of
+    pool-index quotient/remainder.  Returns three (8,128) f32 planes of
+    INTEGER texel values (divide by 255 at the caller).
+
+    One-hot rows are exact {0,1} in bf16 and u8 values are integers
+    <= 255 (exact in bf16), so each f32-accumulated dot picks out the
+    exact value — bitwise equal to the XLA gather."""
+    n_q = tex_ref.shape[1]
+    a = tex_ref[:]
+    iota_q = jax.lax.broadcasted_iota(jnp.int32, (n_q, LANES), 0)
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (256, LANES), 0)
+    outs = ([], [], [])
+    for g in range(8):
+        onehot = (
+            (iota_q == q[g : g + 1, :])
+            .astype(jnp.float32)
+            .astype(jnp.bfloat16)
+        )  # [Q, 128]
+        b = jax.lax.dot_general(
+            a, onehot, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [768, 128]
+        colmask = (iota_c == rem[g : g + 1, :]).astype(jnp.float32)
+        for ch in range(3):
+            v = jnp.sum(
+                b[ch * 256 : (ch + 1) * 256, :] * colmask, axis=0,
+                keepdims=True,
+            )
+            outs[ch].append(v)
+    return tuple(jnp.concatenate(outs[ch], axis=0) for ch in range(3))
+
+
+def _tex_index(td_ref, tex0_f, uv_s, uv_t, n_textures, pool_pad):
+    """eval_texture's index math in-kernel (textures.py:43-51: repeat
+    wrap, y-flip, -0.5 texel center, truncate-toward-zero, clamp).
+    td_ref: [K, 4] f32 descriptor table (w, h, off_hi*4096, off_lo).
+    Returns a clamped i32 pool index plane."""
+    w_f, h_f, off_hi, off_lo = _select_row(td_ref, tex0_f, range(4))
+    s = uv_s - jnp.floor(uv_s)
+    t = uv_t - jnp.floor(uv_t)
+    t = 1.0 - t
+    x = s * w_f - 0.5
+    y = t * h_f - 0.5
+    w_i = w_f.astype(jnp.int32)
+    h_i = h_f.astype(jnp.int32)
+    xi = jnp.clip(x.astype(jnp.int32), 0, w_i - 1)
+    yi = jnp.clip(y.astype(jnp.int32), 0, h_i - 1)
+    off = off_hi.astype(jnp.int32) * 4096 + off_lo.astype(jnp.int32)
+    idx = off + yi * w_i + xi
+    # Dead/garbage lanes (NaN uv) convert unpredictably: clamp into the
+    # pool; their texel is masked by tex0 < 0 / liveness anyway.
+    return jnp.clip(idx, 0, pool_pad - 1)
+
+
+# --------------------------------------------------------------------
+# Kernels
+# --------------------------------------------------------------------
+
+
+def _raygen_trace_kernel(sc_ref, pxpy_ref, ms_ref, tri_ref, sp_ref,
+                         st_out, ph_out, *, n_tris, n_spheres):
+    """Camera raygen + bounce-0 closest hit.
+
+    sc: i32 [8] (slots 2/3 = sample_index/seed bitcast).  pxpy: [2,8,128]
+    i32 pixel coords.  Sampler parity: ph = pcg(hash_key(seed, px<<16|py)
+    ^ sample_index) exactly as sampling.SampleCtx.pixel_hash/_dim_u32
+    (i32 wrapping ops are bit-identical to the u32 forms); camera ray =
+    camera.Camera.ray (projective raster_to_camera, two normalizes)."""
+    px = pxpy_ref[0]
+    py = pxpy_ref[1]
+    sample_index = sc_ref[2]
+    seed = sc_ref[3]
+
+    gold = jnp.int32(-1640531527)  # 0x9E3779B9
+    h = _pcg(gold ^ seed)
+    key = jax.lax.shift_left(px, jnp.int32(16)) | py
+    ph = _pcg(_pcg(h ^ key) ^ sample_index)
+    ph_out[0] = ph
+
+    jx = _dim_f32(ph, jnp.int32(0))
+    jy = _dim_f32(ph, jnp.int32(1))
+    x = px.astype(jnp.float32) + jx
+    y = py.astype(jnp.float32) + jy
+
+    def r2c(i, j):
+        return ms_ref[0, _MS_R2C + 4 * i + j]
+
+    def c2w(i, j):
+        return ms_ref[0, _MS_C2W + 4 * i + j]
+
+    # apply_p_jax(r2c, (x, y, 0)) with projective divide.
+    pcx = r2c(0, 0) * x + r2c(0, 1) * y + r2c(0, 3)
+    pcy = r2c(1, 0) * x + r2c(1, 1) * y + r2c(1, 3)
+    pcz = r2c(2, 0) * x + r2c(2, 1) * y + r2c(2, 3)
+    w = r2c(3, 0) * x + r2c(3, 1) * y + r2c(3, 3)
+    pcx, pcy, pcz = pcx / w, pcy / w, pcz / w
+    # normalize (vecmath.normalize: v / |v|, true divide)
+    l1 = jnp.sqrt(pcx * pcx + pcy * pcy + pcz * pcz)
+    pcx, pcy, pcz = pcx / l1, pcy / l1, pcz / l1
+    dx = c2w(0, 0) * pcx + c2w(0, 1) * pcy + c2w(0, 2) * pcz
+    dy = c2w(1, 0) * pcx + c2w(1, 1) * pcy + c2w(1, 2) * pcz
+    dz = c2w(2, 0) * pcx + c2w(2, 1) * pcy + c2w(2, 2) * pcz
+    l2 = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+    d = (dx / l2, dy / l2, dz / l2)
+    zero = jnp.zeros_like(x)
+    o = (c2w(0, 3) + zero, c2w(1, 3) + zero, c2w(2, 3) + zero)
+
+    t_max = jnp.full_like(x, F32_MAX)
+    t, prim, b0, b1, sph, hitf = _trace_scene(
+        tri_ref, sp_ref, n_tris, n_spheres, o, d, t_max
+    )
+
+    one = jnp.ones_like(x)
+    st_out[_ST["ox"]] = o[0]
+    st_out[_ST["oy"]] = o[1]
+    st_out[_ST["oz"]] = o[2]
+    st_out[_ST["dx"]] = d[0]
+    st_out[_ST["dy"]] = d[1]
+    st_out[_ST["dz"]] = d[2]
+    st_out[_ST["bx"]] = one
+    st_out[_ST["by"]] = one
+    st_out[_ST["bz"]] = one
+    st_out[_ST["rx"]] = zero
+    st_out[_ST["ry"]] = zero
+    st_out[_ST["rz"]] = zero
+    st_out[_ST["alive"]] = one
+    st_out[_ST["spec"]] = zero
+    st_out[_ST["rc"]] = one
+    st_out[_ST["t"]] = t
+    st_out[_ST["b0"]] = b0
+    st_out[_ST["b1"]] = b1
+    st_out[_ST["prim"]] = prim
+    st_out[_ST["sph"]] = sph
+    st_out[_ST["hitf"]] = hitf
+    st_out[_ST["pad0"]] = zero
+    st_out[_ST["pad1"]] = zero
+    st_out[_ST["pad2"]] = zero
+
+
+def _bounce_kernel(sc_ref, st_ref, ph_ref, ms_ref, tri_ref, trs_ref,
+                   mat_ref, lt_ref, sp_ref, td_ref, tex_ref, st_out, *,
+                   n_tris, n_spheres, n_lights, light_types, present,
+                   has_sigma, has_clamp, has_tex, pool_pad, max_depth):
+    """One path bounce, entirely in-kernel.  Order matches path_li's
+    fused branch exactly: miss/alive update -> shade (_shade_body) ->
+    NEE occlusion -> resolve (shade_fused._resolve_kernel order) ->
+    next-ray trace (skipped on the final bounce, path.rs never traces
+    past max_depth)."""
+    dim0 = sc_ref[0]
+    bounce = sc_ref[1]
+
+    def st(name):
+        return st_ref[_ST[name]]
+
+    o = (st("ox"), st("oy"), st("oz"))
+    d = (st("dx"), st("dy"), st("dz"))
+    beta = (st("bx"), st("by"), st("bz"))
+    rad = (st("rx"), st("ry"), st("rz"))
+    alive_in = st("alive") > 0.0
+    spec = st("spec")
+    rc = st("rc")
+    t_hit = st("t")
+    b0 = st("b0")
+    b1 = st("b1")
+    prim = st("prim")
+    sph = st("sph")
+    hitf = st("hitf") > 0.0
+    zero = jnp.zeros_like(rc)
+
+    missed = alive_in & ~hitf
+    alive_h = alive_in & hitf
+
+    # Triangle shading row + material row via one-hot VMEM selects
+    # (replaces the XLA rowgathers + 48-plane packing of shade_fused's
+    # driver — the measured ~35 ms/wave input-marshalling term).
+    trp = _select_row(trs_ref, prim, range(32))
+    mid = trp[26]
+    for s in range(n_spheres):
+        mid = jnp.where(sph == float(s), sp_ref[s, 34] + zero, mid)
+    mrow = _select_row(mat_ref, mid, range(11))
+    kd = (mrow[1], mrow[2], mrow[3])
+    s0 = mrow[7]
+    if has_tex:
+        b2 = 1.0 - b0 - b1
+        uv_s = trp[18] * b0 + trp[20] * b1 + trp[22] * b2
+        uv_t = trp[19] * b0 + trp[21] * b1 + trp[23] * b2
+        tex0 = mrow[9]
+        idx = _tex_index(td_ref, tex0, uv_s, uv_t, td_ref.shape[0],
+                         pool_pad)
+        q = jax.lax.shift_right_logical(idx, jnp.int32(8))
+        rem = idx & jnp.int32(255)
+        kr, kg, kb = _texel_select(tex_ref, q, rem)
+        inv255 = jnp.float32(255.0)
+        texel = (kr / inv255, kg / inv255, kb / inv255)
+        kd = _where3(tex0 >= 0.0, texel, kd)
+
+    rhd = dict(
+        ox=o[0], oy=o[1], oz=o[2], dx=d[0], dy=d[1], dz=d[2],
+        t=t_hit, b0=b0, b1=b1, sph=sph,
+        alive=alive_h.astype(jnp.float32),
+        bx=beta[0], by=beta[1], bz=beta[2], spec=spec,
+    )
+    mpd = dict(
+        mtype=mrow[0], kdx=kd[0], kdy=kd[1], kdz=kd[2],
+        c1x=mrow[4], c1y=mrow[5], c1z=mrow[6], s0=s0, remap=mrow[8],
+    )
+    center = (
+        ms_ref[0, _MS_CENTER],
+        ms_ref[0, _MS_CENTER + 1],
+        ms_ref[0, _MS_CENTER + 2],
+    )
+    o2, d2v, beta2, alive2, spec2, ne, nee = _shade_body(
+        dim0, bounce,
+        rh=lambda name: rhd[name],
+        tr=lambda i: trp[i],
+        mp=lambda name: mpd[name],
+        ltab=lambda li, i: lt_ref[li, i],
+        spm=lambda s, i: sp_ref[s, i],
+        center=center,
+        diag=ms_ref[0, _MS_DIAG],
+        ph_base=ph_ref[0],
+        n_lights=n_lights, light_types=light_types,
+        n_spheres=n_spheres, present=present, has_sigma=has_sigma,
+    )
+
+    # In-kernel NEE occlusion (replaces the per-bounce any_intersect
+    # dispatch): per light, the watertight any sweep + spheres.
+    occs = []
+    for li_idx, (o_s, d_s, t_s, worth, contrib) in enumerate(nee):
+        skip = li_idx if light_types[li_idx] == LIGHT_RECT else -2
+        occs.append(
+            _occluded(tri_ref, trs_ref, sp_ref, n_tris, n_spheres,
+                      skip, o_s, d_s, t_s)
+        )
+
+    # Resolve (shade_fused._resolve_kernel order: background first, the
+    # per-light fold seeded with the kernel's beta*emitted term — the
+    # outer beta below reproduces the reference's double-beta emit
+    # quirk, path.rs:126-137 — then clamp past bounce 0, then the
+    # radiance update masked to live lanes).
+    bg = (
+        ms_ref[0, _MS_BG],
+        ms_ref[0, _MS_BG + 1],
+        ms_ref[0, _MS_BG + 2],
+    )
+    rad = _where3(
+        missed,
+        (rad[0] + beta[0] * bg[0], rad[1] + beta[1] * bg[1],
+         rad[2] + beta[2] * bg[2]),
+        rad,
+    )
+    br = ne
+    for li_idx, (o_s, d_s, t_s, worth, contrib) in enumerate(nee):
+        lit = worth & ~occs[li_idx]
+        br = (
+            br[0] + jnp.where(lit, contrib[0], zero),
+            br[1] + jnp.where(lit, contrib[1], zero),
+            br[2] + jnp.where(lit, contrib[2], zero),
+        )
+    if has_clamp:
+        clamp_v = ms_ref[0, _MS_CLAMP]
+        clamped = (
+            jnp.minimum(br[0], clamp_v),
+            jnp.minimum(br[1], clamp_v),
+            jnp.minimum(br[2], clamp_v),
+        )
+        past0 = (zero + (bounce > 0).astype(jnp.float32)) > 0.5
+        br = _where3(past0, clamped, br)
+    rad = _where3(
+        alive_h,
+        (rad[0] + beta[0] * br[0], rad[1] + beta[1] * br[1],
+         rad[2] + beta[2] * br[2]),
+        rad,
+    )
+
+    # ray_count parity: path_li counts liveness at the TOP of each of
+    # its max_depth scan steps; bounce b's K_B owns the count for
+    # bounce b+1, so the final bounce adds nothing.
+    not_last = bounce < jnp.int32(max_depth - 1)
+    nl_f = zero + not_last.astype(jnp.float32)
+    rc2 = rc + alive2.astype(jnp.float32) * nl_f
+
+    st_out[_ST["ox"]] = o2[0]
+    st_out[_ST["oy"]] = o2[1]
+    st_out[_ST["oz"]] = o2[2]
+    st_out[_ST["dx"]] = d2v[0]
+    st_out[_ST["dy"]] = d2v[1]
+    st_out[_ST["dz"]] = d2v[2]
+    st_out[_ST["bx"]] = beta2[0]
+    st_out[_ST["by"]] = beta2[1]
+    st_out[_ST["bz"]] = beta2[2]
+    st_out[_ST["rx"]] = rad[0]
+    st_out[_ST["ry"]] = rad[1]
+    st_out[_ST["rz"]] = rad[2]
+    st_out[_ST["alive"]] = alive2.astype(jnp.float32)
+    st_out[_ST["spec"]] = spec2.astype(jnp.float32)
+    st_out[_ST["rc"]] = rc2
+    st_out[_ST["t"]] = zero
+    st_out[_ST["b0"]] = zero
+    st_out[_ST["b1"]] = zero
+    st_out[_ST["prim"]] = zero - 1.0
+    st_out[_ST["sph"]] = zero - 1.0
+    st_out[_ST["hitf"]] = zero
+    st_out[_ST["pad0"]] = zero
+    st_out[_ST["pad1"]] = zero
+    st_out[_ST["pad2"]] = zero
+
+    @pl.when(not_last)
+    def _trace_next():
+        t_max2 = jnp.where(alive2, F32_MAX, 0.0)
+        t, prim2, nb0, nb1, sph2, hitf2 = _trace_scene(
+            tri_ref, sp_ref, n_tris, n_spheres, o2, d2v, t_max2
+        )
+        st_out[_ST["t"]] = t
+        st_out[_ST["b0"]] = nb0
+        st_out[_ST["b1"]] = nb1
+        st_out[_ST["prim"]] = prim2
+        st_out[_ST["sph"]] = sph2
+        st_out[_ST["hitf"]] = hitf2
+
+
+# --------------------------------------------------------------------
+# Driver
+# --------------------------------------------------------------------
+
+# "auto": on-TPU production; "off": never; "interpret": force interpret
+# mode on any backend (CPU equivalence tests).
+PATH_FUSED_MODE = "auto"
+
+
+def wave_supported(meta, sampler) -> bool:
+    """Static gate, decided from SceneMeta/sampler only (never probe
+    device arrays — see shade_fused.fused_shade_supported's round-3
+    tracing bug)."""
+    from ..sampling import UniformSampler
+
+    if not isinstance(sampler, UniformSampler):
+        return False
+    if meta.traversal != "dense" or meta.n_tris > MAX_TRIS:
+        return False
+    if meta.n_tris == 0:
+        return False
+    if meta.n_spheres and not meta.sphere_mats_untextured:
+        return False
+    if len(meta.light_types) == 0:
+        return False
+    if meta.has_sigma_tex:
+        return False
+    if meta.has_textures and not (
+        meta.texpool_u8_exact
+        and meta.texpool_texels <= TEXPOOL_MAX
+        and meta.n_textures <= 8
+    ):
+        return False
+    return True
+
+
+def use_wave_fused(meta, sampler) -> bool:
+    from .. import traverse
+
+    if PATH_FUSED_MODE == "off":
+        return False
+    if not wave_supported(meta, sampler):
+        return False
+    if PATH_FUSED_MODE == "interpret":
+        return True
+    return traverse._use_pallas()
+
+
+def _light_table(lights):
+    n = lights.ltype.shape[0]
+    return jnp.concatenate(
+        [
+            lights.ltype.astype(jnp.float32)[:, None],
+            lights.p, lights.i, lights.m.reshape(-1, 16),
+            lights.area[:, None], lights.cos_w[:, None],
+            lights.cos_f[:, None],
+            jnp.zeros((n, 6)),
+        ],
+        axis=1,
+    )
+
+
+def _sphere_table(spheres, n_spheres):
+    if not n_spheres:
+        return jnp.zeros((1, 40))
+    return jnp.concatenate(
+        [
+            spheres.world_to_obj.reshape(-1, 16),
+            spheres.obj_to_world.reshape(-1, 16),
+            spheres.radius[:, None],
+            spheres.swaps_hand.astype(jnp.float32)[:, None],
+            spheres.material.astype(jnp.float32)[:, None],
+            jnp.zeros((n_spheres, 5)),
+        ],
+        axis=1,
+    )
+
+
+def _tex_tables(atlas, pool_texels: int):
+    """Descriptor table [K,4] + the bf16 one-hot LHS [768, Q] built from
+    the integer pool (texels_u8)."""
+    pool_pad = max(-(-pool_texels // 256), 1) * 256
+    u8 = atlas.texels_u8
+    pad = pool_pad - u8.shape[0]
+    u8p = jnp.pad(u8, ((0, pad), (0, 0)))
+    # LHS[ch*256 + c, q] = pool[q*256 + c, ch]
+    lhs = (
+        u8p.reshape(pool_pad // 256, 256, 3)
+        .transpose(2, 1, 0)
+        .reshape(768, pool_pad // 256)
+        .astype(jnp.bfloat16)
+    )
+    td = jnp.stack(
+        [
+            atlas.width.astype(jnp.float32),
+            atlas.height.astype(jnp.float32),
+            (atlas.offset >> 12).astype(jnp.float32),
+            (atlas.offset & 0xFFF).astype(jnp.float32),
+        ],
+        axis=1,
+    )
+    return td, lhs, pool_pad
+
+
+def path_li_wave(data, meta, camera, sampler, params, px, py,
+                 sample_index, seed, interpret: bool = False):
+    """The full per-sample path-traced wave (drop-in for the renderer's
+    raygen + path_li): px/py [N] i32 pixel coords -> (li [N,3],
+    ray_count [N] i32).  Consumes sampler dims exactly like raygen
+    (0-1) + path_li (2 + bounce strides)."""
+    from ..profiling import pass_scope
+
+    n_lights = len(meta.light_types)
+    dims_per_bounce = 2 * n_lights + 2 + 1
+    max_depth = params.max_depth
+    n0 = px.shape[0]
+    n = -(-n0 // BLOCK) * BLOCK
+    if n != n0:
+        px = jnp.concatenate([px, jnp.zeros(n - n0, px.dtype)])
+        py = jnp.concatenate([py, jnp.zeros(n - n0, py.dtype)])
+    rows = n // LANES
+    grid = rows // 8
+
+    pxpy = jnp.stack(
+        [px.reshape(rows, LANES), py.reshape(rows, LANES)], axis=0
+    )
+
+    # misc table
+    r2c = jnp.asarray(camera.raster_to_camera, jnp.float32).reshape(16)
+    c2w = jnp.asarray(camera.camera_to_world, jnp.float32).reshape(16)
+    center = 0.5 * (data.world_lo + data.world_hi)
+    diag = jnp.linalg.norm(data.world_hi - data.world_lo) * 1.002 + 1e-3
+    bg = jnp.asarray(data.background, jnp.float32)
+    clamp_v = (
+        jnp.float32(0.0) if params.indirect_clamp is None
+        else jnp.asarray(params.indirect_clamp, jnp.float32)
+    )
+    ms = jnp.zeros(LANES)
+    ms = ms.at[_MS_R2C : _MS_R2C + 16].set(r2c)
+    ms = ms.at[_MS_C2W : _MS_C2W + 16].set(c2w)
+    ms = ms.at[_MS_CENTER : _MS_CENTER + 3].set(center)
+    ms = ms.at[_MS_DIAG].set(diag)
+    ms = ms.at[_MS_BG : _MS_BG + 3].set(bg)
+    ms = ms.at[_MS_CLAMP].set(clamp_v)
+    ms = ms.reshape(1, LANES)
+
+    n_tris = meta.n_tris
+    n_spheres = meta.n_spheres
+    tri = pack_triangles(data.tris.p0, data.tris.p1, data.tris.p2)
+    trs = data.tris.shading_packed
+    mat = data.materials.packed
+    lt = _light_table(data.lights)
+    sp = _sphere_table(data.spheres, n_spheres)
+    has_tex = bool(meta.has_textures)
+    if has_tex:
+        td, tex, pool_pad = _tex_tables(data.textures, meta.texpool_texels)
+    else:
+        td = jnp.zeros((1, 4))
+        tex = jnp.zeros((768, 8), jnp.bfloat16)
+        pool_pad = 8 * 256
+
+    def i32(x):
+        return jax.lax.bitcast_convert_type(
+            jnp.asarray(x, jnp.uint32).reshape(()), jnp.int32
+        )
+
+    sc_a = jnp.stack(
+        [jnp.int32(0), jnp.int32(0), i32(sample_index), i32(seed)]
+    )
+
+    block = lambda p_: pl.BlockSpec((p_, 8, LANES), lambda i, s: (0, i, 0))
+    full = lambda shp: pl.BlockSpec(shp, lambda i, s: tuple(0 for _ in shp))
+
+    grid_a = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(grid,),
+        in_specs=[block(2), full(ms.shape), full(tri.shape),
+                  full(sp.shape)],
+        out_specs=[block(_N_ST), block(1)],
+    )
+    with pass_scope("path_fused.raygen_trace"):
+        st, ph = pl.pallas_call(
+            functools.partial(
+                _raygen_trace_kernel, n_tris=n_tris, n_spheres=n_spheres
+            ),
+            grid_spec=grid_a,
+            out_shape=[
+                jax.ShapeDtypeStruct((_N_ST, rows, LANES), jnp.float32),
+                jax.ShapeDtypeStruct((1, rows, LANES), jnp.int32),
+            ],
+            interpret=interpret,
+        )(sc_a, pxpy, ms, tri, sp)
+
+    grid_b = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(grid,),
+        in_specs=[block(_N_ST), block(1), full(ms.shape),
+                  full(tri.shape), full(trs.shape), full(mat.shape),
+                  full(lt.shape), full(sp.shape), full(td.shape),
+                  full(tex.shape)],
+        out_specs=[block(_N_ST)],
+    )
+    bounce_call = pl.pallas_call(
+        functools.partial(
+            _bounce_kernel,
+            n_tris=n_tris, n_spheres=n_spheres, n_lights=n_lights,
+            light_types=tuple(meta.light_types),
+            present=frozenset(meta.material_types),
+            has_sigma=bool(meta.has_sigma or meta.has_sigma_tex),
+            has_clamp=params.indirect_clamp is not None,
+            has_tex=has_tex, pool_pad=pool_pad, max_depth=max_depth,
+        ),
+        grid_spec=grid_b,
+        out_shape=[
+            jax.ShapeDtypeStruct((_N_ST, rows, LANES), jnp.float32)
+        ],
+        interpret=interpret,
+    )
+
+    def body(st, b):
+        dim0 = jnp.int32(2) + b * jnp.int32(dims_per_bounce)
+        sc = jnp.stack([dim0, b, jnp.int32(0), jnp.int32(0)])
+        (st2,) = bounce_call(sc, st, ph, ms, tri, trs, mat, lt, sp, td,
+                             tex)
+        return st2, None
+
+    with pass_scope("path_fused.bounces"):
+        st, _ = jax.lax.scan(
+            body, st, jnp.arange(max_depth, dtype=jnp.int32)
+        )
+
+    li = jnp.stack(
+        [
+            st[_ST["rx"]].reshape(n)[:n0],
+            st[_ST["ry"]].reshape(n)[:n0],
+            st[_ST["rz"]].reshape(n)[:n0],
+        ],
+        axis=-1,
+    )
+    ray_count = st[_ST["rc"]].reshape(n)[:n0].astype(jnp.int32)
+    return li, ray_count

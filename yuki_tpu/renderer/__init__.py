@@ -100,6 +100,25 @@ def make_wave_renderer(
         px = (origins[:, 0, None, None] + ix[None]).reshape(-1)
         py = (origins[:, 1, None, None] + iy[None]).reshape(-1)
         ctx = SampleCtx(px=px, py=py, sample_index=sample_index, seed=seed)
+        if isinstance(integrator, intg.PathParams):
+            from .. import traverse
+            from ..ops import path_fused
+
+            if path_fused.use_wave_fused(meta, sampler):
+                # Fully-fused wave (ops/path_fused.py): raygen + every
+                # bounce in Pallas kernels, plane-major carry, no
+                # per-bounce XLA.  Consumes the same sampler dims as the
+                # raygen + path_li chain below.
+                interp = (path_fused.PATH_FUSED_MODE == "interpret"
+                          or traverse.FORCE_PALLAS_INTERPRET)
+                li, rcount = path_fused.path_li_wave(
+                    data, meta, camera, sampler, integrator, px, py,
+                    sample_index, seed, interpret=interp,
+                )
+                return (
+                    li.reshape(b, td, td, 3),
+                    jnp.sum(rcount.astype(jnp.float32)),
+                )
         u = sampler.get_2d(ctx, 0)
         p_film = jnp.stack(
             [px.astype(jnp.float32), py.astype(jnp.float32)], axis=-1

@@ -81,7 +81,13 @@ def _tiling_texture(size: int = 256) -> np.ndarray:
         img[:, max(k - 1, 0):k + 1] *= 0.35
     # Slight warm tint like fired tile.
     img *= np.array([1.0, 0.92, 0.85], dtype=np.float32)
-    return img
+    # Quantize to the 8-bit grid like the real asset (the reference's
+    # tiling_58 basecolor is an 8-bit PNG; decode_image_file would give
+    # exactly k/255 values).  Also enables the MXU texel-select path
+    # (scene/data.py texels_u8 / ops/path_fused.py).
+    return np.round(np.clip(img, 0.0, 1.0) * 255.0).astype(
+        np.float32
+    ) / np.float32(255.0)
 
 
 def cornell(

@@ -157,6 +157,12 @@ class TextureAtlas:
     offset: Any  # [K] i32
     width: Any  # [K] i32
     height: Any  # [K] i32
+    # [N,3] u8 integer pool, present only when every texel is exactly
+    # k/255 (8-bit sources).  The fully-fused path kernel
+    # (ops/path_fused.py) fetches texels on the MXU as an exact one-hot
+    # select of these integers (u8 ints are exact in bf16), killing the
+    # per-lane XLA gather; f32-valued pools keep the gather path.
+    texels_u8: Any = None
 
 
 @_register
@@ -229,6 +235,12 @@ class SceneMeta:
     # scene arrays inside jit, silently disabling the fused path for
     # every sphere scene in production (round-4 finding).
     sphere_mats_untextured: bool = True
+    # Texture-pool statics for the fully-fused path kernel's MXU texel
+    # select (ops/path_fused.py): total texel count (pre-padding) and
+    # whether every texel is exactly representable as k/255.
+    texpool_texels: int = 1
+    texpool_u8_exact: bool = False
+    n_textures: int = 0
 
 
 @dataclass
@@ -595,11 +607,21 @@ class SceneBuilder:
         else:
             offs, ws, hs = [0], [1], [1]
             texels = np.zeros((1, 3), np.float32)
+        # Exact-u8 pool companion for the MXU texel select (see
+        # TextureAtlas.texels_u8): decided from the VALUES, not the
+        # source format, so procedurally-built float textures that
+        # happen to be 8-bit-exact also qualify.
+        u8r = np.clip(np.round(texels * 255.0), 0, 255).astype(np.uint8)
+        u8_exact = bool(
+            np.array_equal(u8r.astype(np.float32) / np.float32(255.0),
+                           texels)
+        )
         textures = TextureAtlas(
             texels=jnp.asarray(texels),
             offset=jnp.asarray(offs, dtype=jnp.int32),
             width=jnp.asarray(ws, dtype=jnp.int32),
             height=jnp.asarray(hs, dtype=jnp.int32),
+            texels_u8=jnp.asarray(u8r) if u8_exact else None,
         )
 
         # BVH over triangles (spheres brute-forced separately).
@@ -691,5 +713,8 @@ class SceneBuilder:
                 and int(mats[s[4]].get("tex1", -1)) < 0
                 for s in self._spheres
             ),
+            texpool_texels=int(texels.shape[0]),
+            texpool_u8_exact=u8_exact,
+            n_textures=len(self._textures),
         )
         return Scene(data=data, meta=meta, bvh_host=bvh_host)
