@@ -36,10 +36,11 @@ def test_pcg_i32_matches_u32():
 
 
 def _render(scene_tuple, mode, depth=5, spp=1, res=(64, 48), td=8,
-            tiles=12):
+            tiles=12, sampler=None):
     scene, cam_params, _ = scene_tuple
     camera = Camera.create(cam_params, *res)
-    sampler = UniformSampler(spp)
+    if sampler is None:
+        sampler = UniformSampler(spp)
     origins = jnp.asarray(
         np.stack(
             [np.arange(tiles, dtype=np.int32) % 4 * td,
@@ -157,7 +158,27 @@ def test_supported_gate():
     assert shade_fused.fused_shade_supported(
         scene.data, scene.meta, UniformSampler(1)
     )
-    # Stratified sampler: per-lane rejection loop — not kernelizable.
-    assert not shade_fused.fused_shade_supported(
+    # Round-4 (VERDICT item 4): stratified supported — the rejection
+    # loop runs in the XLA prologue, never in the kernel.
+    assert shade_fused.fused_shade_supported(
         scene.data, scene.meta, StratifiedSampler(2, 2)
     )
+
+
+def test_fused_matches_xla_stratified():
+    """StratifiedSampler through the fused kernel (round-4): the driver
+    hoists the bounce's strata+jitter to an XLA prologue computed by the
+    sampler itself, so the values entering the math are identical by
+    construction and parity matches the uniform regime
+    (stratified.rs:104-178 semantics)."""
+    s = StratifiedSampler(pixel_samples_x=2, pixel_samples_y=2)
+    ref, rays_ref = _render(cornell(), "off", depth=3, sampler=s)
+    got, rays_got = _render(cornell(), "interpret", depth=3, sampler=s)
+    assert rays_ref == rays_got
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+    # Non-power-of-two strata grid: exercises the rejection loop.
+    s = StratifiedSampler(pixel_samples_x=3, pixel_samples_y=3)
+    ref, rays_ref = _render(cornell(), "off", depth=2, sampler=s)
+    got, rays_got = _render(cornell(), "interpret", depth=2, sampler=s)
+    assert rays_ref == rays_got
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)

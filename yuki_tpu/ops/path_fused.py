@@ -205,6 +205,68 @@ def _occluded(tri_ref, trs_ref, sp_ref, n_tris, n_spheres, skip_id,
 # --------------------------------------------------------------------
 
 
+def _byte_table(tab, n_rows_pad: int):
+    """Host/XLA-side prep for _select_row_mxu: [R, C] f32 table ->
+    [4*C, n_rows_pad] bf16 of the f32 values' raw bytes (LSB first:
+    row 4*c+b holds byte b of column c).  u8 bytes are exact in bf16,
+    so the MXU one-hot dot + integer reassembly reproduces the f32
+    BITS exactly."""
+    import jax.numpy as _jnp
+
+    r, c = tab.shape
+    bits = jax.lax.bitcast_convert_type(
+        tab.astype(_jnp.float32), _jnp.uint32
+    )
+    bytes_ = jnp.stack(
+        [(bits >> (8 * b)) & 0xFF for b in range(4)], axis=-1
+    )  # [R, C, 4]
+    out = bytes_.transpose(1, 2, 0).reshape(4 * c, r)
+    pad = n_rows_pad - r
+    if pad:
+        out = jnp.pad(out, ((0, 0), (0, pad)))
+    return out.astype(jnp.bfloat16)
+
+
+def _select_row_mxu(btab_ref, idx_f, n_cols):
+    """Exact per-lane row select on the MXU (replaces the unrolled
+    one-hot _select_row whose R*C jnp.where chain was the largest
+    single term of the fused Cornell wave: 11.7 of 42.9 ms,
+    benchmarks/r4_waveknock.py).
+
+    btab_ref: [4*n_cols, R] bf16 byte table (_byte_table).  idx_f:
+    (8,128) f32 plane of integral row ids (negatives select row 0,
+    parity with the XLA drivers' clamped gathers).  One-hot rows and
+    u8 byte values are both exact in bf16 and each f32-accumulated dot
+    lane receives exactly one nonzero product, so reassembling the four
+    byte planes with integer shifts reproduces the table's f32 bits
+    EXACTLY.  Returns n_cols (8,128) f32 planes."""
+    n_rows = btab_ref.shape[1]
+    a = btab_ref[:]
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (n_rows, LANES), 0)
+    idx_i = jnp.maximum(idx_f, 0.0).astype(jnp.int32)
+    cols = [[] for _ in range(n_cols)]
+    for g in range(8):
+        onehot = (
+            (iota_r == idx_i[g : g + 1, :])
+            .astype(jnp.float32)
+            .astype(jnp.bfloat16)
+        )  # [R, 128]
+        b = jax.lax.dot_general(
+            a, onehot, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [4*n_cols, 128]
+        for c in range(n_cols):
+            v = b[4 * c + 3 : 4 * c + 4].astype(jnp.int32)
+            for byte in (2, 1, 0):
+                v = jax.lax.shift_left(v, jnp.int32(8)) | b[
+                    4 * c + byte : 4 * c + byte + 1
+                ].astype(jnp.int32)
+            cols[c].append(
+                jax.lax.bitcast_convert_type(v, jnp.float32)
+            )
+    return [jnp.concatenate(c, axis=0) for c in cols]
+
+
 def _select_row(tab_ref, idx_f, cols):
     """Per-lane row select from a small VMEM table by unrolled one-hot:
     row 0 is the default (parity with the XLA drivers' max(idx, 0)
@@ -363,9 +425,11 @@ def _raygen_trace_kernel(sc_ref, pxpy_ref, ms_ref, tri_ref, sp_ref,
 
 
 def _bounce_kernel(sc_ref, st_ref, ph_ref, ms_ref, tri_ref, trs_ref,
-                   mat_ref, lt_ref, sp_ref, td_ref, tex_ref, st_out, *,
+                   trb_ref, matb_ref, lt_ref, sp_ref, td_ref, tex_ref,
+                   st_out, *,
                    n_tris, n_spheres, n_lights, light_types, present,
-                   has_sigma, has_clamp, has_tex, pool_pad, max_depth):
+                   has_sigma, has_clamp, has_tex, pool_pad, max_depth,
+                   knock=frozenset()):
     """One path bounce, entirely in-kernel.  Order matches path_li's
     fused branch exactly: miss/alive update -> shade (_shade_body) ->
     NEE occlusion -> resolve (shade_fused._resolve_kernel order) ->
@@ -398,14 +462,18 @@ def _bounce_kernel(sc_ref, st_ref, ph_ref, ms_ref, tri_ref, trs_ref,
     # Triangle shading row + material row via one-hot VMEM selects
     # (replaces the XLA rowgathers + 48-plane packing of shade_fused's
     # driver — the measured ~35 ms/wave input-marshalling term).
-    trp = _select_row(trs_ref, prim, range(32))
-    mid = trp[26]
-    for s in range(n_spheres):
-        mid = jnp.where(sph == float(s), sp_ref[s, 34] + zero, mid)
-    mrow = _select_row(mat_ref, mid, range(11))
+    if "rowsel" in knock:  # pragma: no cover - perf attribution only
+        trp = [trs_ref[0, k] + zero for k in range(32)]
+        mrow = [zero for _ in range(11)]
+    else:
+        trp = _select_row_mxu(trb_ref, prim, 32)
+        mid = trp[26]
+        for s in range(n_spheres):
+            mid = jnp.where(sph == float(s), sp_ref[s, 34] + zero, mid)
+        mrow = _select_row_mxu(matb_ref, mid, 11)
     kd = (mrow[1], mrow[2], mrow[3])
     s0 = mrow[7]
-    if has_tex:
+    if has_tex and "tex" not in knock:
         b2 = 1.0 - b0 - b1
         uv_s = trp[18] * b0 + trp[20] * b1 + trp[22] * b2
         uv_t = trp[19] * b0 + trp[21] * b1 + trp[23] * b2
@@ -434,24 +502,33 @@ def _bounce_kernel(sc_ref, st_ref, ph_ref, ms_ref, tri_ref, trs_ref,
         ms_ref[0, _MS_CENTER + 1],
         ms_ref[0, _MS_CENTER + 2],
     )
-    o2, d2v, beta2, alive2, spec2, ne, nee = _shade_body(
-        dim0, bounce,
-        rh=lambda name: rhd[name],
-        tr=lambda i: trp[i],
-        mp=lambda name: mpd[name],
-        ltab=lambda li, i: lt_ref[li, i],
-        spm=lambda s, i: sp_ref[s, i],
-        center=center,
-        diag=ms_ref[0, _MS_DIAG],
-        ph_base=ph_ref[0],
-        n_lights=n_lights, light_types=light_types,
-        n_spheres=n_spheres, present=present, has_sigma=has_sigma,
-    )
+    if "shade" in knock:  # pragma: no cover - perf attribution only
+        o2, d2v, beta2 = o, d, beta
+        alive2, spec2 = alive_h, spec > 0.0
+        ne = (zero, zero, zero)
+        nee = []
+    else:
+        o2, d2v, beta2, alive2, spec2, ne, nee = _shade_body(
+            dim0, bounce,
+            rh=lambda name: rhd[name],
+            tr=lambda i: trp[i],
+            mp=lambda name: mpd[name],
+            ltab=lambda li, i: lt_ref[li, i],
+            spm=lambda s, i: sp_ref[s, i],
+            center=center,
+            diag=ms_ref[0, _MS_DIAG],
+            ph_base=ph_ref[0],
+            n_lights=n_lights, light_types=light_types,
+            n_spheres=n_spheres, present=present, has_sigma=has_sigma,
+        )
 
     # In-kernel NEE occlusion (replaces the per-bounce any_intersect
     # dispatch): per light, the watertight any sweep + spheres.
     occs = []
     for li_idx, (o_s, d_s, t_s, worth, contrib) in enumerate(nee):
+        if "occl" in knock:  # pragma: no cover - perf attribution only
+            occs.append(jnp.zeros(o_s[0].shape, jnp.int32) > 0)
+            continue
         skip = li_idx if light_types[li_idx] == LIGHT_RECT else -2
         occs.append(
             _occluded(tri_ref, trs_ref, sp_ref, n_tris, n_spheres,
@@ -530,6 +607,9 @@ def _bounce_kernel(sc_ref, st_ref, ph_ref, ms_ref, tri_ref, trs_ref,
     st_out[_ST["pad1"]] = zero
     st_out[_ST["pad2"]] = zero
 
+    if "trace" in knock:  # pragma: no cover - perf attribution only
+        return
+
     @pl.when(not_last)
     def _trace_next():
         t_max2 = jnp.where(alive2, F32_MAX, 0.0)
@@ -551,6 +631,11 @@ def _bounce_kernel(sc_ref, st_ref, ph_ref, ms_ref, tri_ref, trs_ref,
 # "auto": on-TPU production; "off": never; "interpret": force interpret
 # mode on any backend (CPU equivalence tests).
 PATH_FUSED_MODE = "auto"
+
+# Perf-attribution knockouts (benchmarks/r4_waveknock.py): subset of
+# {"rowsel", "tex", "shade", "occl", "trace"} disabling that stage of
+# the bounce kernel.  NEVER set in production — results are wrong.
+PATH_FUSED_KNOCK = frozenset()
 
 
 def wave_supported(meta, sampler) -> bool:
@@ -649,13 +734,16 @@ def _tex_tables(atlas, pool_texels: int):
 
 
 def path_li_wave(data, meta, camera, sampler, params, px, py,
-                 sample_index, seed, interpret: bool = False):
+                 sample_index, seed, interpret: bool = False,
+                 knock=None):
     """The full per-sample path-traced wave (drop-in for the renderer's
     raygen + path_li): px/py [N] i32 pixel coords -> (li [N,3],
     ray_count [N] i32).  Consumes sampler dims exactly like raygen
     (0-1) + path_li (2 + bounce strides)."""
     from ..profiling import pass_scope
 
+    if knock is None:
+        knock = PATH_FUSED_KNOCK
     n_lights = len(meta.light_types)
     dims_per_bounce = 2 * n_lights + 2 + 1
     max_depth = params.max_depth
@@ -695,6 +783,11 @@ def path_li_wave(data, meta, camera, sampler, params, px, py,
     tri = pack_triangles(data.tris.p0, data.tris.p1, data.tris.p2)
     trs = data.tris.shading_packed
     mat = data.materials.packed
+    # Byte tables for the MXU row selects (benchmarks/r4_waveknock.py:
+    # the VPU one-hot chain was 11.7 ms of the 42.9 ms wave).
+    trb = _byte_table(trs[:, :32], max(8, -(-n_tris // 8) * 8))
+    n_mats = mat.shape[0]
+    matb = _byte_table(mat[:, :11], max(8, -(-n_mats // 8) * 8))
     lt = _light_table(data.lights)
     sp = _sphere_table(data.spheres, n_spheres)
     has_tex = bool(meta.has_textures)
@@ -741,7 +834,8 @@ def path_li_wave(data, meta, camera, sampler, params, px, py,
         num_scalar_prefetch=1,
         grid=(grid,),
         in_specs=[block(_N_ST), block(1), full(ms.shape),
-                  full(tri.shape), full(trs.shape), full(mat.shape),
+                  full(tri.shape), full(trs.shape), full(trb.shape),
+                  full(matb.shape),
                   full(lt.shape), full(sp.shape), full(td.shape),
                   full(tex.shape)],
         out_specs=[block(_N_ST)],
@@ -755,6 +849,7 @@ def path_li_wave(data, meta, camera, sampler, params, px, py,
             has_sigma=bool(meta.has_sigma or meta.has_sigma_tex),
             has_clamp=params.indirect_clamp is not None,
             has_tex=has_tex, pool_pad=pool_pad, max_depth=max_depth,
+            knock=frozenset(knock),
         ),
         grid_spec=grid_b,
         out_shape=[
@@ -766,8 +861,8 @@ def path_li_wave(data, meta, camera, sampler, params, px, py,
     def body(st, b):
         dim0 = jnp.int32(2) + b * jnp.int32(dims_per_bounce)
         sc = jnp.stack([dim0, b, jnp.int32(0), jnp.int32(0)])
-        (st2,) = bounce_call(sc, st, ph, ms, tri, trs, mat, lt, sp, td,
-                             tex)
+        (st2,) = bounce_call(sc, st, ph, ms, tri, trs, trb, matb, lt,
+                             sp, td, tex)
         return st2, None
 
     with pass_scope("path_fused.bounces"):

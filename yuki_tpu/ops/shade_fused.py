@@ -358,7 +358,8 @@ def _matte_f(has_sigma, kd, s0, wo_l, wi_l):
 
 
 def _shade_body(dim0, bounce, rh, tr, mp, ltab, spm, center, diag, ph_base,
-                *, n_lights, light_types, n_spheres, present, has_sigma):
+                *, n_lights, light_types, n_spheres, present, has_sigma,
+                urand=None):
     """The whole per-bounce shading chain on (8,128) SoA planes, reader-
     callback form so multiple kernels share ONE source of truth for the
     math (parity-tested against the XLA chain):
@@ -370,7 +371,17 @@ def _shade_body(dim0, bounce, rh, tr, mp, ltab, spm, center, diag, ph_base,
       ltab(li,i) -> light-table scalar, spm(s,i) -> sphere-table scalar
       center (3 scalars) / diag: scene bounds info for ray parking
     Returns (o2, d2, beta2[3], alive2, spec2, ne[3], nee) where nee is a
-    per-light list of (o_s[3], d_s[3], t_s, worth, contrib[3])."""
+    per-light list of (o_s[3], d_s[3], t_s, worth, contrib[3]).
+
+    ``urand(k)`` (k a STATIC in-bounce dim offset, 0..dims_per_bounce-3)
+    supplies the bounce's random numbers.  Default: the UniformSampler
+    in-kernel hash _dim_f32(ph_base, dim0 + k).  The stratified drivers
+    pass a reader over precomputed sample planes instead (strata are
+    path-independent, so they are hoisted to the XLA prologue —
+    stratified.rs:104-146 semantics, VERDICT r3 item 4)."""
+    if urand is None:
+        def urand(k):
+            return _dim_f32(ph_base, dim0 + jnp.int32(k))
     o = (rh("ox"), rh("oy"), rh("oz"))
     d = (rh("dx"), rh("dy"), rh("dz"))
     wo = _neg(d)
@@ -540,9 +551,8 @@ def _shade_body(dim0, bounce, rh, tr, mp, ltab, spm, center, diag, ph_base,
     nee = []
     for li_idx in range(n_lights):
         ltype = light_types[li_idx]
-        dim_li = dim0 + jnp.int32(2 * li_idx)
-        u0 = _dim_f32(ph_base, dim_li)
-        u1 = _dim_f32(ph_base, dim_li + jnp.int32(1))
+        u0 = urand(2 * li_idx)
+        u1 = urand(2 * li_idx + 1)
 
         def lt(i, _li=li_idx):
             return ltab(_li, i)
@@ -654,9 +664,8 @@ def _shade_body(dim0, bounce, rh, tr, mp, ltab, spm, center, diag, ph_base,
     )
 
     # ---- bsdf_sample --------------------------------------------------
-    dim_b = dim0 + jnp.int32(2 * n_lights)
-    u0 = _dim_f32(ph_base, dim_b)
-    u1 = _dim_f32(ph_base, dim_b + jnp.int32(1))
+    u0 = urand(2 * n_lights)
+    u1 = urand(2 * n_lights + 1)
     wo_l = (_dot(wo, ss), _dot(wo, ts_frame), _dot(wo, ns))
 
     has_matte = MAT_MATTE in present
@@ -777,7 +786,7 @@ def _shade_body(dim0, bounce, rh, tr, mp, ltab, spm, center, diag, ph_base,
 
     # Russian roulette (after bounce 3); scalar rr_on broadcast by add.
     q = jnp.maximum(0.05, 1.0 - beta2[1])
-    r_rr = _dim_f32(ph_base, dim_b + jnp.int32(2))
+    r_rr = urand(2 * n_lights + 2)
     rr_on = (zero + (bounce > 3).astype(jnp.float32)) > 0.5
     alive2 = alive2 & ~(rr_on & (r_rr < q))
     inv_keep = 1.0 / jnp.maximum(1.0 - q, 1e-30)
@@ -788,16 +797,19 @@ def _shade_body(dim0, bounce, rh, tr, mp, ltab, spm, center, diag, ph_base,
 
 def _shade_kernel(sc_ref, rh_ref, tr_ref, mp_ref, ph_ref, lt_ref, sp_ref,
                   ms_ref, out_ref, *, n_lights, light_types, n_spheres,
-                  present, has_sigma, has_clamp):
+                  present, has_sigma, has_clamp, strat=False):
     """One grid step shades BLOCK_RAYS rays (thin wrapper over
     _shade_body reading pre-gathered input planes).
 
     refs: sc (scalar prefetch i32 [4]: dim0, bounce, sample_index unused
     in-kernel, flags), rh [16,8,128] rays/hit/carry, tr [32,8,128] tri
     shading row planes, mp [16,8,128] material row planes (kd/s0
-    texture-resolved), ph [1,8,128] i32 pcg(pixel_hash^sample_index),
-    lt [L,32] light table, sp [S,40] sphere table, ms [1,128] misc
-    (center xyz, diag), out [OP,8,128]."""
+    texture-resolved), ph [1,8,128] i32 pcg(pixel_hash^sample_index) —
+    OR, when ``strat``, [2L+3,8,128] f32 precomputed stratified sample
+    planes consumed positionally (the StratifiedSampler's strata are
+    path-independent, hoisted to the XLA prologue) — lt [L,32] light
+    table, sp [S,40] sphere table, ms [1,128] misc (center xyz, diag),
+    out [OP,8,128]."""
     o2, d2v, beta2, alive2, spec2, ne, nee = _shade_body(
         sc_ref[0], sc_ref[1],
         rh=lambda name: rh_ref[_RH[name]],
@@ -807,9 +819,10 @@ def _shade_kernel(sc_ref, rh_ref, tr_ref, mp_ref, ph_ref, lt_ref, sp_ref,
         spm=lambda s, i: sp_ref[s, i],
         center=(ms_ref[0, 0], ms_ref[0, 1], ms_ref[0, 2]),
         diag=ms_ref[0, 3],
-        ph_base=ph_ref[0],
+        ph_base=None if strat else ph_ref[0],
         n_lights=n_lights, light_types=light_types,
         n_spheres=n_spheres, present=present, has_sigma=has_sigma,
+        urand=(lambda k: ph_ref[k]) if strat else None,
     )
     zero = jnp.zeros_like(o2[0])
     for li_idx, (o_s, d_s, t_s, worth, contrib) in enumerate(nee):
@@ -1033,10 +1046,16 @@ def fused_shade_supported(scene, meta, sampler) -> bool:
     XLA shading chain for every sphere scene (Cornell included) in every
     production render while all fused-path benchmarks (concrete arrays)
     showed the kernel winning.  Round-4 fix + regression test
-    (tests/test_round4.py::test_fused_gate_under_tracing)."""
-    from ..sampling import UniformSampler
+    (tests/test_round4.py::test_fused_gate_under_tracing).
 
-    if not isinstance(sampler, UniformSampler):
+    Round-4: StratifiedSampler supported too — its strata are
+    path-independent, so the driver hoists the bounce's 2L+3 sample
+    values to an XLA prologue (the exact XLA-chain expressions,
+    stratified.rs:104-146 semantics) and the kernel reads them as
+    planes; the rejection loop never enters the kernel."""
+    from ..sampling import StratifiedSampler, UniformSampler
+
+    if not isinstance(sampler, (UniformSampler, StratifiedSampler)):
         return False
     # Sphere lanes skip uv: every sphere material must be untextured.
     return meta.n_spheres == 0 or meta.sphere_mats_untextured
@@ -1135,13 +1154,30 @@ def shade_fused(scene, meta, sampler, ctx, hit, o, d, beta, alive,
     ] + [jnp.zeros(n)] * (_N_MP - 9)
     mp = planes(mp_arrs)
 
-    # pcg(pixel_hash ^ sample_index) precomputed (sampling._dim_u32 inner)
-    from ..sampling import pcg_hash, _u32
+    from ..sampling import StratifiedSampler, pcg_hash, _u32
 
-    ph_base = pcg_hash(ctx.pixel_hash() ^ _u32(ctx.sample_index))
-    ph = jax.lax.bitcast_convert_type(
-        jnp.broadcast_to(ph_base, (n,)), jnp.int32
-    ).reshape(1, rows, LANES)
+    strat = isinstance(sampler, StratifiedSampler)
+    if strat:
+        # Stratified prologue: the bounce's 2L+3 sample values computed
+        # by the sampler itself (the exact XLA-chain calls from path_li,
+        # so kernel parity is value-identical by construction).
+        ur = []
+        for li_idx in range(n_lights):
+            u2 = sampler.get_2d(ctx, dim0 + 2 * li_idx)
+            ur += [u2[..., 0], u2[..., 1]]
+        u2 = sampler.get_2d(ctx, dim0 + 2 * n_lights)
+        ur += [u2[..., 0], u2[..., 1],
+               sampler.get_1d(ctx, dim0 + 2 * n_lights + 2)]
+        ph = jnp.stack(
+            [u.reshape(rows, LANES) for u in ur], axis=0
+        )
+    else:
+        # pcg(pixel_hash ^ sample_index) precomputed
+        # (sampling._dim_u32 inner)
+        ph_base = pcg_hash(ctx.pixel_hash() ^ _u32(ctx.sample_index))
+        ph = jax.lax.bitcast_convert_type(
+            jnp.broadcast_to(ph_base, (n,)), jnp.int32
+        ).reshape(1, rows, LANES)
 
     # light table [L, 32]
     L = scene.lights
@@ -1191,7 +1227,7 @@ def shade_fused(scene, meta, sampler, ctx, hit, o, d, beta, alive,
             pl.BlockSpec((_N_RH, 8, LANES), lambda p, s: (0, p, 0)),
             pl.BlockSpec((32, 8, LANES), lambda p, s: (0, p, 0)),
             pl.BlockSpec((_N_MP, 8, LANES), lambda p, s: (0, p, 0)),
-            pl.BlockSpec((1, 8, LANES), lambda p, s: (0, p, 0)),
+            pl.BlockSpec((ph.shape[0], 8, LANES), lambda p, s: (0, p, 0)),
             pl.BlockSpec(lt.shape, lambda p, s: (0, 0)),
             pl.BlockSpec(sp.shape, lambda p, s: (0, 0)),
             pl.BlockSpec((1, LANES), lambda p, s: (0, 0)),
@@ -1209,6 +1245,7 @@ def shade_fused(scene, meta, sampler, ctx, hit, o, d, beta, alive,
             present=frozenset(meta.material_types),
             has_sigma=bool(meta.has_sigma or meta.has_sigma_tex),
             has_clamp=False,
+            strat=strat,
         ),
         grid_spec=grid_spec,
         out_shape=[

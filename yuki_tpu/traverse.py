@@ -35,6 +35,12 @@ from .vecmath import dot
 # adaptive treelet dispatch was a combination no test had ever run.
 FORCE_PALLAS_INTERPRET = False
 
+# Perf-attribution knockouts for the treelet dispatch
+# (benchmarks/r4_streamknock.py): subset of {"probe", "wide", "bary",
+# "fallback", "spheres"} disabling that piece of intersect()/
+# any_intersect().  NEVER set in production — results are wrong.
+TRAVERSE_KNOCK = frozenset()
+
 
 def _backend_tpu() -> bool:
     import jax
@@ -445,8 +451,13 @@ def intersect(scene, meta, o, d, t_max, with_stats: bool = False,
                 o, d, t_max, sk = _pad128(scene, o, d, t_max, sk)
             n = o.shape[0]
             rows = n // 128
-            row_words = tr.row_words_interval(ch, o, d, t_max)
-            coherent = _rows_demand(row_words) <= rows * _ROWS_MULT
+            if "probe" in TRAVERSE_KNOCK:  # pragma: no cover - perf only
+                row_words = jnp.zeros(
+                    (rows, -(-ch.n_treelets // 32)), dtype=jnp.uint32)
+                coherent = jnp.asarray(False)
+            else:
+                row_words = tr.row_words_interval(ch, o, d, t_max)
+                coherent = _rows_demand(row_words) <= rows * _ROWS_MULT
 
             def rows_branch(_):
                 t_r, p_r, ov_r = tr.rows_closest_w(
@@ -553,18 +564,25 @@ def intersect(scene, meta, o, d, t_max, with_stats: bool = False,
             def skip_wide(_):
                 return t_s, prim_s, jnp.asarray(True)
 
-            t_s, prim_s, ok2 = jax.lax.cond(
-                n_ov > 0, run_wide, skip_wide, None
-            )
+            if "wide" in TRAVERSE_KNOCK:  # pragma: no cover - perf only
+                ok2 = jnp.asarray(True)
+            else:
+                t_s, prim_s, ok2 = jax.lax.cond(
+                    n_ov > 0, run_wide, skip_wide, None
+                )
             ok = ok & ok2 & (n_ov <= ts.OV_CAP)
             nb = n if bary_count is None or not skip_sort else min(
                 -(-bary_count // 128) * 128, n)
-            b0_s, b1_s = ts._recompute_bary(
-                sp, o[:nb], d[:nb], t_s[:nb], prim_s[:nb])
-            if nb < n:
-                pad = jnp.zeros(n - nb, b0_s.dtype)
-                b0_s = jnp.concatenate([b0_s, pad])
-                b1_s = jnp.concatenate([b1_s, pad])
+            if "bary" in TRAVERSE_KNOCK:  # pragma: no cover - perf only
+                b0_s = jnp.zeros(n, t_s.dtype)
+                b1_s = jnp.zeros(n, t_s.dtype)
+            else:
+                b0_s, b1_s = ts._recompute_bary(
+                    sp, o[:nb], d[:nb], t_s[:nb], prim_s[:nb])
+                if nb < n:
+                    pad = jnp.zeros(n - nb, b0_s.dtype)
+                    b0_s = jnp.concatenate([b0_s, pad])
+                    b1_s = jnp.concatenate([b1_s, pad])
 
             def fallback(_):
                 # Capacity blow-out escape hatch.  The treelet walk has
@@ -583,12 +601,15 @@ def intersect(scene, meta, o, d, t_max, with_stats: bool = False,
                         is_shadow, jnp.where(occ_f, 0, -1), p_f)
                 return t_f, p_f, b0_f, b1_f
 
-            t, prim, b0, b1 = jax.lax.cond(
-                ok,
-                lambda _: (t_s, prim_s, b0_s, b1_s),
-                fallback,
-                None,
-            )
+            if "fallback" in TRAVERSE_KNOCK:  # pragma: no cover - perf
+                t, prim, b0, b1 = t_s, prim_s, b0_s, b1_s
+            else:
+                t, prim, b0, b1 = jax.lax.cond(
+                    ok,
+                    lambda _: (t_s, prim_s, b0_s, b1_s),
+                    fallback,
+                    None,
+                )
             return t[:n0], prim[:n0], b0[:n0], b1[:n0]
 
         t, prim, b0, b1 = _sorted_call(
@@ -601,6 +622,12 @@ def intersect(scene, meta, o, d, t_max, with_stats: bool = False,
             t, prim, b0, b1, steps = res
         else:
             t, prim, b0, b1 = res
+    if "spheres" in TRAVERSE_KNOCK:  # pragma: no cover - perf only
+        out = SceneHit(
+            hit=prim >= 0, t=t, prim=prim,
+            sphere=jnp.full_like(prim, -1), b0=b0, b1=b1,
+        )
+        return (out, steps) if with_stats else out
     sh = ray_spheres(o, d, t_max, scene.spheres)
     sphere_wins = sh.hit & (sh.t < t)
     out = SceneHit(
@@ -649,8 +676,13 @@ def any_intersect(scene, meta, o, d, t_max, skip_light,
             )
             n = o.shape[0]
             rows = n // 128
-            row_words = tr.row_words_interval(ch, o, d, t_max)
-            coherent = _rows_demand(row_words) <= rows * _ROWS_MULT
+            if "probe" in TRAVERSE_KNOCK:  # pragma: no cover - perf only
+                row_words = jnp.zeros(
+                    (rows, -(-ch.n_treelets // 32)), dtype=jnp.uint32)
+                coherent = jnp.asarray(False)
+            else:
+                row_words = tr.row_words_interval(ch, o, d, t_max)
+                coherent = _rows_demand(row_words) <= rows * _ROWS_MULT
 
             def rows_branch(_):
                 occ_r, ov_r = tr.rows_any_w(
@@ -744,20 +776,29 @@ def any_intersect(scene, meta, o, d, t_max, skip_light,
             def skip_wide(_):
                 return occ_s, jnp.asarray(True)
 
-            occ_s, ok2 = jax.lax.cond(n_ov > 0, run_wide, skip_wide, None)
+            if "wide" in TRAVERSE_KNOCK:  # pragma: no cover - perf only
+                ok2 = jnp.asarray(True)
+            else:
+                occ_s, ok2 = jax.lax.cond(
+                    n_ov > 0, run_wide, skip_wide, None)
             ok = ok & ok2 & (n_ov <= ts.OV_CAP)
-            occ = jax.lax.cond(
-                ok,
-                lambda _: occ_s,
-                lambda _: treelet_any(scene.treelets, o, d, t_max,
-                                      skip_light, interpret=interp),
-                None,
-            )
+            if "fallback" in TRAVERSE_KNOCK:  # pragma: no cover - perf
+                occ = occ_s
+            else:
+                occ = jax.lax.cond(
+                    ok,
+                    lambda _: occ_s,
+                    lambda _: treelet_any(scene.treelets, o, d, t_max,
+                                          skip_light, interpret=interp),
+                    None,
+                )
             return (occ[:n0],)
 
         (occ,) = _sorted_call(
             scene, o, d, t_max, skip_light, run_sorted, skip_sort=skip_sort
         )
+        if "spheres" in TRAVERSE_KNOCK:  # pragma: no cover - perf only
+            return occ
         sh = ray_spheres(o, d, t_max, scene.spheres)
         return occ | sh.hit
     max_leaf = meta.bvh_max_leaf
