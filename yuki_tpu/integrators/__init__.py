@@ -53,6 +53,12 @@ _BENIGN_D = jnp.asarray([0.0, 0.0, 1.0])
 # tests).
 FUSED_SHADE_MODE = "auto"
 
+# Perf-attribution knockouts for path_li's fused-branch bounce loop
+# (benchmarks/r4_colwave.py): subset of {"closest", "shade", "occl",
+# "resolve"} replacing that stage with a cheap stand-in of identical
+# shapes.  NEVER set in production — results are wrong.
+PATHLI_KNOCK = frozenset()
+
 
 def _use_fused_shade(scene, meta, sampler) -> bool:
     from ..ops import shade_fused
@@ -235,10 +241,18 @@ def path_li(scene, meta, params: PathParams, sampler: Sampler,
         # overflow the pair budget into the slow fallback walk every
         # bounce — measured 939 ms vs ~30 ms for the 262k-ray wave).
         t_max = jnp.where(alive, traverse.F32_MAX, 0.0)
-        with pass_scope("trace.closest"):
-            hit = traverse.intersect(
-                scene, meta, o, d, t_max, skip_sort=True
+        if "closest" in PATHLI_KNOCK:  # pragma: no cover - perf only
+            hit = traverse.SceneHit(
+                hit=alive, t=jnp.full(n, 1.0),
+                prim=jnp.zeros(n, jnp.int32),
+                sphere=jnp.full(n, -1, jnp.int32),
+                b0=jnp.full(n, 0.25), b1=jnp.full(n, 0.25),
             )
+        else:
+            with pass_scope("trace.closest"):
+                hit = traverse.intersect(
+                    scene, meta, o, d, t_max, skip_sort=True
+                )
 
         # Miss: background, terminate (path.rs:155-160).
         missed = alive & ~hit.hit
@@ -257,26 +271,45 @@ def path_li(scene, meta, params: PathParams, sampler: Sampler,
 
             interp = (FUSED_SHADE_MODE == "interpret"
                       or traverse.FORCE_PALLAS_INTERPRET)
-            with pass_scope("shade.fused"):
-                (o2, d2, beta2, alive2, spec2, no, nd, nt, ns_k, nw, nc,
-                 ne) = shade_fused.shade_fused(
-                    scene, meta, sampler, ctx, hit, o, d, beta, alive,
-                    specular_bounce, dim0, bounce, interpret=interp,
-                )
-            with pass_scope("trace.occlusion"):
-                occ = traverse.any_intersect(
-                    scene, meta, no, nd, nt, ns_k, skip_sort=True
-                )
+            if "shade" in PATHLI_KNOCK:  # pragma: no cover - perf only
+                L = max(n_lights, 1)
+                o2, d2, beta2 = o, d, beta * 0.9
+                alive2, spec2 = alive, specular_bounce
+                no = jnp.tile(o, (L, 1))
+                nd = jnp.tile(d, (L, 1))
+                nt = jnp.where(jnp.tile(alive, L), 1.0, 0.0)
+                ns_k = jnp.full(L * n, -2, jnp.int32)
+                nw = jnp.tile(alive, L)
+                nc = jnp.zeros((L * n, 3))
+                ne = jnp.zeros((n, 3))
+            else:
+                with pass_scope("shade.fused"):
+                    (o2, d2, beta2, alive2, spec2, no, nd, nt, ns_k, nw,
+                     nc, ne) = shade_fused.shade_fused(
+                        scene, meta, sampler, ctx, hit, o, d, beta,
+                        alive, specular_bounce, dim0, bounce,
+                        interpret=interp,
+                    )
+            if "occl" in PATHLI_KNOCK:  # pragma: no cover - perf only
+                occ = jnp.zeros(no.shape[0], bool)
+            else:
+                with pass_scope("trace.occlusion"):
+                    occ = traverse.any_intersect(
+                        scene, meta, no, nd, nt, ns_k, skip_sort=True
+                    )
             # Second fused pass: NEE resolve + the kernel's beta*emitted
             # term (the outer beta below reproduces the reference's
             # double-beta emit quirk, path.rs:126-137) + indirect clamp
             # + miss background + radiance update, all in-kernel.
-            with pass_scope("shade.resolve"):
-                radiance = shade_fused.resolve_fused(
-                    scene, radiance, beta, alive, missed, ne, occ, nw,
-                    nc, bounce, n_lights, params.indirect_clamp,
-                    interpret=interp,
-                )
+            if "resolve" in PATHLI_KNOCK:  # pragma: no cover - perf
+                radiance = radiance + 1e-12 * beta
+            else:
+                with pass_scope("shade.resolve"):
+                    radiance = shade_fused.resolve_fused(
+                        scene, radiance, beta, alive, missed, ne, occ,
+                        nw, nc, bounce, n_lights,
+                        params.indirect_clamp, interpret=interp,
+                    )
             return (o2, d2, beta2, radiance, alive2, spec2,
                     ray_count), None
 

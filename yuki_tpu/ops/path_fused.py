@@ -281,7 +281,7 @@ def _select_row(tab_ref, idx_f, cols):
     return out
 
 
-def _texel_select(tex_ref, q, rem):
+def _texel_select(tex_ref, q, rem, knock=frozenset()):
     """Exact texel fetch on the MXU.
 
     tex_ref: [768, Q] bf16 with tex_ref[ch*256 + c, qq] = u8 texel value
@@ -303,17 +303,75 @@ def _texel_select(tex_ref, q, rem):
             .astype(jnp.float32)
             .astype(jnp.bfloat16)
         )  # [Q, 128]
-        b = jax.lax.dot_general(
-            a, onehot, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [768, 128]
+        if "texdot" in knock:  # pragma: no cover - perf attribution
+            b = (a[:, :LANES] + onehot[:1, :]).astype(jnp.float32)
+        else:
+            b = jax.lax.dot_general(
+                a, onehot, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [768, 128]
         colmask = (iota_c == rem[g : g + 1, :]).astype(jnp.float32)
         for ch in range(3):
-            v = jnp.sum(
-                b[ch * 256 : (ch + 1) * 256, :] * colmask, axis=0,
-                keepdims=True,
-            )
+            if "texred" in knock:  # pragma: no cover - perf attr
+                v = b[ch * 256 : ch * 256 + 1, :] + colmask[:1, :]
+            else:
+                v = jnp.sum(
+                    b[ch * 256 : (ch + 1) * 256, :] * colmask, axis=0,
+                    keepdims=True,
+                )
             outs[ch].append(v)
+    return tuple(jnp.concatenate(outs[ch], axis=0) for ch in range(3))
+
+
+def _texel_select_pal(texp_ref, pal_ref, q, rem, interp=False,
+                      knock=frozenset()):
+    """Palette texel fetch on the MXU (gated by meta.texpool_palette;
+    scene/data.py builds pal_idx/palette when the u8 pool has <= 128
+    distinct RGB triples — Cornell's tiling: 97/65536).
+
+    texp_ref: [256, Q] bf16 with texp_ref[c, qq] = palette index of
+    pool texel qq*256 + c.  pal_ref: [8, 128] bf16, rows 0..2 = r/g/b
+    INTEGER u8 values of palette entry p (cols >= P zero).  3x less
+    MXU + colmask work than the 3-channel _texel_select, plus one tiny
+    one-hot dot.  Palette ids <= 127 and u8 values are exact in bf16,
+    so the result stays bitwise equal to the XLA gather."""
+    n_q = texp_ref.shape[1]
+    a = texp_ref[:]
+    # CPU interpret: XLA CPU's bf16 DotThunk rejects this dot once
+    # fused into the full wave graph (isolated probes pass); f32 is
+    # equally exact, and TPU keeps the bf16 MXU rate.
+    if interp:
+        a = a.astype(jnp.float32)
+    p = pal_ref[:]
+    iota_q = jax.lax.broadcasted_iota(jnp.int32, (n_q, LANES), 0)
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (256, LANES), 0)
+    iota_p = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
+    outs = ([], [], [])
+    for g in range(8):
+        onehot = (iota_q == q[g : g + 1, :]).astype(jnp.float32)
+        if not interp:
+            onehot = onehot.astype(jnp.bfloat16)  # [Q, 128]
+        if "texdot" in knock:  # pragma: no cover - perf attribution
+            b = (a[:, :LANES] + onehot[:1, :]).astype(jnp.float32)
+        else:
+            b = jax.lax.dot_general(
+                a, onehot, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [256, 128]
+        colmask = (iota_c == rem[g : g + 1, :]).astype(jnp.float32)
+        if "texred" in knock:  # pragma: no cover - perf attribution
+            pi = b[:1, :] + colmask[:1, :]
+        else:
+            pi = jnp.sum(b * colmask, axis=0, keepdims=True)  # [1,128]
+        # f32 x f32 dot: the [8,128] palette resolve is negligible MXU
+        # work and CPU-interpret XLA has no bf16 thunk at this shape.
+        ponehot = (iota_p == pi.astype(jnp.int32)).astype(jnp.float32)
+        rgb = jax.lax.dot_general(
+            p, ponehot, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [8, 128]
+        for ch in range(3):
+            outs[ch].append(rgb[ch : ch + 1, :])
     return tuple(jnp.concatenate(outs[ch], axis=0) for ch in range(3))
 
 
@@ -426,10 +484,10 @@ def _raygen_trace_kernel(sc_ref, pxpy_ref, ms_ref, tri_ref, sp_ref,
 
 def _bounce_kernel(sc_ref, st_ref, ph_ref, ms_ref, tri_ref, trs_ref,
                    trb_ref, matb_ref, lt_ref, sp_ref, td_ref, tex_ref,
-                   st_out, *,
+                   pal_ref, st_out, *,
                    n_tris, n_spheres, n_lights, light_types, present,
-                   has_sigma, has_clamp, has_tex, pool_pad, max_depth,
-                   knock=frozenset()):
+                   has_sigma, has_clamp, has_tex, pool_pad, pal_colors,
+                   max_depth, knock=frozenset(), interp=False):
     """One path bounce, entirely in-kernel.  Order matches path_li's
     fused branch exactly: miss/alive update -> shade (_shade_body) ->
     NEE occlusion -> resolve (shade_fused._resolve_kernel order) ->
@@ -478,11 +536,19 @@ def _bounce_kernel(sc_ref, st_ref, ph_ref, ms_ref, tri_ref, trs_ref,
         uv_s = trp[18] * b0 + trp[20] * b1 + trp[22] * b2
         uv_t = trp[19] * b0 + trp[21] * b1 + trp[23] * b2
         tex0 = mrow[9]
-        idx = _tex_index(td_ref, tex0, uv_s, uv_t, td_ref.shape[0],
-                         pool_pad)
+        if "texidx" in knock:  # pragma: no cover - perf attribution
+            idx = jnp.clip((uv_s + uv_t).astype(jnp.int32), 0,
+                           pool_pad - 1)
+        else:
+            idx = _tex_index(td_ref, tex0, uv_s, uv_t, td_ref.shape[0],
+                             pool_pad)
         q = jax.lax.shift_right_logical(idx, jnp.int32(8))
         rem = idx & jnp.int32(255)
-        kr, kg, kb = _texel_select(tex_ref, q, rem)
+        if pal_colors:
+            kr, kg, kb = _texel_select_pal(tex_ref, pal_ref, q, rem,
+                                           interp=interp, knock=knock)
+        else:
+            kr, kg, kb = _texel_select(tex_ref, q, rem, knock=knock)
         inv255 = jnp.float32(255.0)
         texel = (kr / inv255, kg / inv255, kb / inv255)
         kd = _where3(tex0 >= 0.0, texel, kd)
@@ -733,6 +799,24 @@ def _tex_tables(atlas, pool_texels: int):
     return td, lhs, pool_pad
 
 
+def _tex_tables_pal(atlas, pool_texels: int):
+    """Palette variant of _tex_tables: pal-index LHS [256, Q] bf16 +
+    palette table [8, 128] bf16 (rows 0..2 = r/g/b integer values)."""
+    pool_pad = max(-(-pool_texels // 256), 1) * 256
+    pidx = atlas.pal_idx
+    pad = pool_pad - pidx.shape[0]
+    pidxp = jnp.pad(pidx, (0, pad))
+    lhs = (
+        pidxp.reshape(pool_pad // 256, 256)
+        .transpose(1, 0)
+        .astype(jnp.bfloat16)
+    )  # [256, Q]
+    n_pal = atlas.palette.shape[0]
+    pal = jnp.zeros((8, LANES), jnp.float32)
+    pal = pal.at[:3, :n_pal].set(atlas.palette.T)
+    return lhs, pal, pool_pad
+
+
 def path_li_wave(data, meta, camera, sampler, params, px, py,
                  sample_index, seed, interpret: bool = False,
                  knock=None):
@@ -791,7 +875,14 @@ def path_li_wave(data, meta, camera, sampler, params, px, py,
     lt = _light_table(data.lights)
     sp = _sphere_table(data.spheres, n_spheres)
     has_tex = bool(meta.has_textures)
-    if has_tex:
+    pal_colors = int(meta.texpool_palette) if has_tex else 0
+    pal = jnp.zeros((8, LANES), jnp.float32)
+    if has_tex and pal_colors:
+        td, _, pool_pad = _tex_tables(data.textures, meta.texpool_texels)
+        tex, pal, pool_pad = _tex_tables_pal(
+            data.textures, meta.texpool_texels
+        )
+    elif has_tex:
         td, tex, pool_pad = _tex_tables(data.textures, meta.texpool_texels)
     else:
         td = jnp.zeros((1, 4))
@@ -837,7 +928,7 @@ def path_li_wave(data, meta, camera, sampler, params, px, py,
                   full(tri.shape), full(trs.shape), full(trb.shape),
                   full(matb.shape),
                   full(lt.shape), full(sp.shape), full(td.shape),
-                  full(tex.shape)],
+                  full(tex.shape), full(pal.shape)],
         out_specs=[block(_N_ST)],
     )
     bounce_call = pl.pallas_call(
@@ -848,8 +939,9 @@ def path_li_wave(data, meta, camera, sampler, params, px, py,
             present=frozenset(meta.material_types),
             has_sigma=bool(meta.has_sigma or meta.has_sigma_tex),
             has_clamp=params.indirect_clamp is not None,
-            has_tex=has_tex, pool_pad=pool_pad, max_depth=max_depth,
-            knock=frozenset(knock),
+            has_tex=has_tex, pool_pad=pool_pad, pal_colors=pal_colors,
+            max_depth=max_depth,
+            knock=frozenset(knock), interp=interpret,
         ),
         grid_spec=grid_b,
         out_shape=[
@@ -862,7 +954,7 @@ def path_li_wave(data, meta, camera, sampler, params, px, py,
         dim0 = jnp.int32(2) + b * jnp.int32(dims_per_bounce)
         sc = jnp.stack([dim0, b, jnp.int32(0), jnp.int32(0)])
         (st2,) = bounce_call(sc, st, ph, ms, tri, trs, trb, matb, lt,
-                             sp, td, tex)
+                             sp, td, tex, pal)
         return st2, None
 
     with pass_scope("path_fused.bounces"):

@@ -163,6 +163,14 @@ class TextureAtlas:
     # select of these integers (u8 ints are exact in bf16), killing the
     # per-lane XLA gather; f32-valued pools keep the gather path.
     texels_u8: Any = None
+    # Palette companion, present when the u8 pool has <= 128 distinct
+    # RGB triples (procedural/tiled sources routinely do): pal_idx [N]
+    # i32 palette index per texel + palette [P,3] f32 INTEGER u8 color
+    # values.  The fused path kernel then selects a 1-row palette index
+    # on the MXU (3x less MXU + colmask work than the 3-channel select)
+    # and resolves RGB with one tiny one-hot dot.
+    pal_idx: Any = None
+    palette: Any = None
 
 
 @_register
@@ -240,6 +248,9 @@ class SceneMeta:
     # whether every texel is exactly representable as k/255.
     texpool_texels: int = 1
     texpool_u8_exact: bool = False
+    # Distinct RGB triples in the u8 pool when <= 128 (palette texel
+    # select in ops/path_fused.py), else 0.
+    texpool_palette: int = 0
     n_textures: int = 0
 
 
@@ -616,12 +627,24 @@ class SceneBuilder:
             np.array_equal(u8r.astype(np.float32) / np.float32(255.0),
                            texels)
         )
+        # Palette: tiled/procedural sources routinely quantize to a few
+        # dozen distinct colors (Cornell's 1K tiling: 97 of 65536).
+        pal_colors = 0
+        pal_idx = palette = None
+        if u8_exact:
+            uniq, inv = np.unique(u8r, axis=0, return_inverse=True)
+            if uniq.shape[0] <= 128:
+                pal_colors = int(uniq.shape[0])
+                pal_idx = jnp.asarray(inv.astype(np.int32))
+                palette = jnp.asarray(uniq.astype(np.float32))
         textures = TextureAtlas(
             texels=jnp.asarray(texels),
             offset=jnp.asarray(offs, dtype=jnp.int32),
             width=jnp.asarray(ws, dtype=jnp.int32),
             height=jnp.asarray(hs, dtype=jnp.int32),
             texels_u8=jnp.asarray(u8r) if u8_exact else None,
+            pal_idx=pal_idx,
+            palette=palette,
         )
 
         # BVH over triangles (spheres brute-forced separately).
@@ -715,6 +738,7 @@ class SceneBuilder:
             ),
             texpool_texels=int(texels.shape[0]),
             texpool_u8_exact=u8_exact,
+            texpool_palette=pal_colors,
             n_textures=len(self._textures),
         )
         return Scene(data=data, meta=meta, bvh_host=bvh_host)
