@@ -207,10 +207,11 @@ def _occluded(tri_ref, trs_ref, sp_ref, n_tris, n_spheres, skip_id,
 
 def _byte_table(tab, n_rows_pad: int):
     """Host/XLA-side prep for _select_row_mxu: [R, C] f32 table ->
-    [4*C, n_rows_pad] bf16 of the f32 values' raw bytes (LSB first:
-    row 4*c+b holds byte b of column c).  u8 bytes are exact in bf16,
-    so the MXU one-hot dot + integer reassembly reproduces the f32
-    BITS exactly."""
+    [4*C, n_rows_pad] bf16 of the f32 values' raw bytes, BYTE-MAJOR
+    (row b*C+c holds byte b of column c), so the kernel's integer
+    reassembly runs as four [C, 128] vector ops instead of a per-column
+    [1, 128] chain.  u8 bytes are exact in bf16, so the MXU one-hot
+    dot + integer reassembly reproduces the f32 BITS exactly."""
     import jax.numpy as _jnp
 
     r, c = tab.shape
@@ -220,7 +221,7 @@ def _byte_table(tab, n_rows_pad: int):
     bytes_ = jnp.stack(
         [(bits >> (8 * b)) & 0xFF for b in range(4)], axis=-1
     )  # [R, C, 4]
-    out = bytes_.transpose(1, 2, 0).reshape(4 * c, r)
+    out = bytes_.transpose(2, 1, 0).reshape(4 * c, r)
     pad = n_rows_pad - r
     if pad:
         out = jnp.pad(out, ((0, 0), (0, pad)))
@@ -233,13 +234,17 @@ def _select_row_mxu(btab_ref, idx_f, n_cols):
     single term of the fused Cornell wave: 11.7 of 42.9 ms,
     benchmarks/r4_waveknock.py).
 
-    btab_ref: [4*n_cols, R] bf16 byte table (_byte_table).  idx_f:
-    (8,128) f32 plane of integral row ids (negatives select row 0,
-    parity with the XLA drivers' clamped gathers).  One-hot rows and
-    u8 byte values are both exact in bf16 and each f32-accumulated dot
-    lane receives exactly one nonzero product, so reassembling the four
-    byte planes with integer shifts reproduces the table's f32 bits
-    EXACTLY.  Returns n_cols (8,128) f32 planes."""
+    btab_ref: [4*n_cols, R] bf16 BYTE-MAJOR byte table (_byte_table:
+    row b*n_cols+c = byte b of column c).  idx_f: (8,128) f32 plane of
+    integral row ids (negatives select row 0, parity with the XLA
+    drivers' clamped gathers).  One-hot rows and u8 byte values are
+    both exact in bf16 and each f32-accumulated dot lane receives
+    exactly one nonzero product, so reassembling the four byte planes
+    with integer shifts reproduces the table's f32 bits EXACTLY.  The
+    reassembly is four [n_cols, 128] casts + three shift-or pairs per
+    group (the previous column-major layout needed a [1, 128] op chain
+    per column: ~7*n_cols ops/group, the largest VPU term of the fused
+    wave after the one-hot dots).  Returns n_cols (8,128) f32 planes."""
     n_rows = btab_ref.shape[1]
     a = btab_ref[:]
     iota_r = jax.lax.broadcasted_iota(jnp.int32, (n_rows, LANES), 0)
@@ -254,16 +259,15 @@ def _select_row_mxu(btab_ref, idx_f, n_cols):
         b = jax.lax.dot_general(
             a, onehot, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [4*n_cols, 128]
+        )  # [4*n_cols, 128], byte-major blocks of n_cols rows
+        v = b[3 * n_cols : 4 * n_cols].astype(jnp.int32)
+        for byte in (2, 1, 0):
+            v = jax.lax.shift_left(v, jnp.int32(8)) | b[
+                byte * n_cols : (byte + 1) * n_cols
+            ].astype(jnp.int32)
+        vf = jax.lax.bitcast_convert_type(v, jnp.float32)  # [n_cols,128]
         for c in range(n_cols):
-            v = b[4 * c + 3 : 4 * c + 4].astype(jnp.int32)
-            for byte in (2, 1, 0):
-                v = jax.lax.shift_left(v, jnp.int32(8)) | b[
-                    4 * c + byte : 4 * c + byte + 1
-                ].astype(jnp.int32)
-            cols[c].append(
-                jax.lax.bitcast_convert_type(v, jnp.float32)
-            )
+            cols[c].append(vf[c : c + 1])
     return [jnp.concatenate(c, axis=0) for c in cols]
 
 
