@@ -192,3 +192,57 @@ def test_gate_treelet_scene():
 
     scene, _, _ = colonnade()
     assert not path_fused.wave_supported(scene.meta, UniformSampler(1))
+
+
+def test_texel_select_pal_exact():
+    """The packed palette select (3 rems per f32 row, base-128) equals
+    the XLA gather bitwise for a random <=128-color pool (interpret)."""
+    from jax.experimental import pallas as pl
+
+    rng = np.random.default_rng(11)
+    t_count = 4096
+    n_pal = 97
+    palette = rng.integers(0, 256, (n_pal, 3), np.uint8)
+    pidx = rng.integers(0, n_pal, t_count).astype(np.int32)
+
+    class A:
+        pal_idx = jnp.asarray(pidx)
+
+    A.palette = jnp.asarray(palette.astype(np.float32))
+    lhs, pal, pool_pad = path_fused._tex_tables_pal(A, t_count)
+    assert lhs.shape == (88, t_count // 256) and lhs.dtype == jnp.float32
+
+    idx = rng.integers(0, t_count, 1024).astype(np.int32)
+    qs = jnp.asarray(idx >> 8).reshape(8, 128)
+    rems = jnp.asarray(idx & 255).reshape(8, 128)
+
+    def kernel(q_ref, r_ref, lhs_ref, pal_ref, o_ref):
+        r, g, b = path_fused._texel_select_pal(
+            lhs_ref, pal_ref, q_ref[:], r_ref[:]
+        )
+        o_ref[0] = r
+        o_ref[1] = g
+        o_ref[2] = b
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((3, 8, 128), jnp.float32),
+        interpret=True,
+    )(qs, rems, lhs, pal)
+    ref = palette[pidx[idx]].astype(np.float32).T.reshape(3, 8, 128)
+    np.testing.assert_array_equal(np.asarray(out), ref)
+
+
+def test_onekernel_matches_scanned():
+    """The one-kernel wave (_wave_kernel: raygen + all bounces in one
+    pallas_call) is bitwise-identical to the scanned two-kernel driver
+    in interpret mode — same value bodies, same op order."""
+    ref, rays_ref = _render(cornell(), "interpret", depth=3)
+    old = path_fused.PATH_FUSED_ONEKERNEL
+    path_fused.PATH_FUSED_ONEKERNEL = True
+    try:
+        got, rays_got = _render(cornell(), "interpret", depth=3)
+    finally:
+        path_fused.PATH_FUSED_ONEKERNEL = old
+    assert rays_ref == rays_got
+    np.testing.assert_array_equal(got, ref)

@@ -42,8 +42,10 @@ def test_fused_gate_statics():
     # Cornell: sphere material is untextured glass-ish -> supported.
     assert meta.n_spheres == 1
     assert meta.sphere_mats_untextured
-    # Stratified still falls back (round-4 queue item 4 tracks this).
-    assert not fused_shade_supported(data, meta, StratifiedSampler(2, 2))
+    # Round-4 queue item 4 landed: the driver precomputes the
+    # stratified sample planes in the XLA prologue, so Stratified now
+    # takes the fused kernel too (tests/test_shade_fused.py parity).
+    assert fused_shade_supported(data, meta, StratifiedSampler(2, 2))
 
 
 def test_sphere_textured_gate():

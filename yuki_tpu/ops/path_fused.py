@@ -333,43 +333,48 @@ def _texel_select_pal(texp_ref, pal_ref, q, rem, interp=False,
     scene/data.py builds pal_idx/palette when the u8 pool has <= 128
     distinct RGB triples — Cornell's tiling: 97/65536).
 
-    texp_ref: [256, Q] bf16 with texp_ref[c, qq] = palette index of
-    pool texel qq*256 + c.  pal_ref: [8, 128] bf16, rows 0..2 = r/g/b
-    INTEGER u8 values of palette entry p (cols >= P zero).  3x less
-    MXU + colmask work than the 3-channel _texel_select, plus one tiny
-    one-hot dot.  Palette ids <= 127 and u8 values are exact in bf16,
-    so the result stays bitwise equal to the XLA gather."""
+    texp_ref: [88, Q] f32 with texp_ref[r, qq] = the palette indices of
+    pool texels qq*256 + 3r .. 3r+2 packed base-128
+    (id0*16384 + id1*128 + id2; ids <= 127 so packed < 2^21, exact in
+    f32 — and exact through a one-hot MXU dot at ANY bf16 pass count,
+    because the one-hot operand is exactly {0,1} so each split-product
+    sums back to the unrounded packed value; precision=HIGHEST pins
+    the multi-pass lowering).  pal_ref: [8, 128] f32, rows 0..2 =
+    r/g/b INTEGER u8 values of palette entry p (cols >= P zero).
+    Packing 3 rems per row cuts the per-group column-mask
+    construct+mul+reduce from 256 rows to 88 — the dominant VPU term
+    of the tex stage (benchmarks/r4_texknock2.py) — at the price of a
+    three-op per-lane field extract."""
     n_q = texp_ref.shape[1]
+    n_r3 = texp_ref.shape[0]
     a = texp_ref[:]
-    # CPU interpret: XLA CPU's bf16 DotThunk rejects this dot once
-    # fused into the full wave graph (isolated probes pass); f32 is
-    # equally exact, and TPU keeps the bf16 MXU rate.
-    if interp:
-        a = a.astype(jnp.float32)
     p = pal_ref[:]
     iota_q = jax.lax.broadcasted_iota(jnp.int32, (n_q, LANES), 0)
-    iota_c = jax.lax.broadcasted_iota(jnp.int32, (256, LANES), 0)
+    iota_r3 = jax.lax.broadcasted_iota(jnp.int32, (n_r3, LANES), 0)
     iota_p = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
     outs = ([], [], [])
     for g in range(8):
         onehot = (iota_q == q[g : g + 1, :]).astype(jnp.float32)
-        if not interp:
-            onehot = onehot.astype(jnp.bfloat16)  # [Q, 128]
         if "texdot" in knock:  # pragma: no cover - perf attribution
-            b = (a[:, :LANES] + onehot[:1, :]).astype(jnp.float32)
+            b = a[:, :LANES] + onehot[:1, :]
         else:
             b = jax.lax.dot_general(
                 a, onehot, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # [256, 128]
-        colmask = (iota_c == rem[g : g + 1, :]).astype(jnp.float32)
+                precision=jax.lax.Precision.HIGHEST,
+            )  # [88, 128]
+        rg = rem[g : g + 1, :]
+        r_row = jax.lax.div(rg, jnp.int32(3))
+        sub = rg - r_row * 3
+        colmask = (iota_r3 == r_row).astype(jnp.float32)
         if "texred" in knock:  # pragma: no cover - perf attribution
-            pi = b[:1, :] + colmask[:1, :]
+            packed = b[:1, :] + colmask[:1, :]
         else:
-            pi = jnp.sum(b * colmask, axis=0, keepdims=True)  # [1,128]
-        # f32 x f32 dot: the [8,128] palette resolve is negligible MXU
-        # work and CPU-interpret XLA has no bf16 thunk at this shape.
-        ponehot = (iota_p == pi.astype(jnp.int32)).astype(jnp.float32)
+            packed = jnp.sum(b * colmask, axis=0, keepdims=True)
+        pv = packed.astype(jnp.int32)
+        shift = jnp.int32(14) - jnp.int32(7) * sub
+        pi = jax.lax.shift_right_logical(pv, shift) & jnp.int32(127)
+        ponehot = (iota_p == pi).astype(jnp.float32)
         rgb = jax.lax.dot_general(
             p, ponehot, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -406,25 +411,20 @@ def _tex_index(td_ref, tex0_f, uv_s, uv_t, n_textures, pool_pad):
 # --------------------------------------------------------------------
 
 
-def _raygen_trace_kernel(sc_ref, pxpy_ref, ms_ref, tri_ref, sp_ref,
-                         st_out, ph_out, *, n_tris, n_spheres):
-    """Camera raygen + bounce-0 closest hit.
+def _raygen_values(px, py, sample_index, seed, ms_ref, tri_ref, sp_ref,
+                   *, n_tris, n_spheres):
+    """Camera raygen + bounce-0 closest hit, on values (shared by the
+    two-kernel scanned driver and the one-kernel wave).
 
-    sc: i32 [8] (slots 2/3 = sample_index/seed bitcast).  pxpy: [2,8,128]
-    i32 pixel coords.  Sampler parity: ph = pcg(hash_key(seed, px<<16|py)
-    ^ sample_index) exactly as sampling.SampleCtx.pixel_hash/_dim_u32
-    (i32 wrapping ops are bit-identical to the u32 forms); camera ray =
-    camera.Camera.ray (projective raster_to_camera, two normalizes)."""
-    px = pxpy_ref[0]
-    py = pxpy_ref[1]
-    sample_index = sc_ref[2]
-    seed = sc_ref[3]
-
+    Sampler parity: ph = pcg(hash_key(seed, px<<16|py) ^ sample_index)
+    exactly as sampling.SampleCtx.pixel_hash/_dim_u32 (i32 wrapping ops
+    are bit-identical to the u32 forms); camera ray = camera.Camera.ray
+    (projective raster_to_camera, two normalizes).  Returns (ph, state
+    dict keyed by _ST names)."""
     gold = jnp.int32(-1640531527)  # 0x9E3779B9
     h = _pcg(gold ^ seed)
     key = jax.lax.shift_left(px, jnp.int32(16)) | py
     ph = _pcg(_pcg(h ^ key) ^ sample_index)
-    ph_out[0] = ph
 
     jx = _dim_f32(ph, jnp.int32(0))
     jy = _dim_f32(ph, jnp.int32(1))
@@ -460,49 +460,47 @@ def _raygen_trace_kernel(sc_ref, pxpy_ref, ms_ref, tri_ref, sp_ref,
     )
 
     one = jnp.ones_like(x)
-    st_out[_ST["ox"]] = o[0]
-    st_out[_ST["oy"]] = o[1]
-    st_out[_ST["oz"]] = o[2]
-    st_out[_ST["dx"]] = d[0]
-    st_out[_ST["dy"]] = d[1]
-    st_out[_ST["dz"]] = d[2]
-    st_out[_ST["bx"]] = one
-    st_out[_ST["by"]] = one
-    st_out[_ST["bz"]] = one
-    st_out[_ST["rx"]] = zero
-    st_out[_ST["ry"]] = zero
-    st_out[_ST["rz"]] = zero
-    st_out[_ST["alive"]] = one
-    st_out[_ST["spec"]] = zero
-    st_out[_ST["rc"]] = one
-    st_out[_ST["t"]] = t
-    st_out[_ST["b0"]] = b0
-    st_out[_ST["b1"]] = b1
-    st_out[_ST["prim"]] = prim
-    st_out[_ST["sph"]] = sph
-    st_out[_ST["hitf"]] = hitf
+    stv = dict(
+        ox=o[0], oy=o[1], oz=o[2], dx=d[0], dy=d[1], dz=d[2],
+        bx=one, by=one, bz=one, rx=zero, ry=zero, rz=zero,
+        alive=one, spec=zero, rc=one,
+        t=t, b0=b0, b1=b1, prim=prim, sph=sph, hitf=hitf,
+    )
+    return ph, stv
+
+
+def _raygen_trace_kernel(sc_ref, pxpy_ref, ms_ref, tri_ref, sp_ref,
+                         st_out, ph_out, *, n_tris, n_spheres):
+    """Ref wrapper over _raygen_values (the scanned two-kernel driver).
+    sc: i32 [8] (slots 2/3 = sample_index/seed bitcast).  pxpy:
+    [2,8,128] i32 pixel coords."""
+    ph, stv = _raygen_values(
+        pxpy_ref[0], pxpy_ref[1], sc_ref[2], sc_ref[3], ms_ref,
+        tri_ref, sp_ref, n_tris=n_tris, n_spheres=n_spheres,
+    )
+    ph_out[0] = ph
+    zero = jnp.zeros_like(stv["rc"])
+    for name, v in stv.items():
+        st_out[_ST[name]] = v
     st_out[_ST["pad0"]] = zero
     st_out[_ST["pad1"]] = zero
     st_out[_ST["pad2"]] = zero
 
 
-def _bounce_kernel(sc_ref, st_ref, ph_ref, ms_ref, tri_ref, trs_ref,
+def _bounce_values(dim0, bounce, st, ph_base, ms_ref, tri_ref, trs_ref,
                    trb_ref, matb_ref, lt_ref, sp_ref, td_ref, tex_ref,
-                   pal_ref, st_out, *,
+                   pal_ref, *,
                    n_tris, n_spheres, n_lights, light_types, present,
                    has_sigma, has_clamp, has_tex, pool_pad, pal_colors,
                    max_depth, knock=frozenset(), interp=False):
-    """One path bounce, entirely in-kernel.  Order matches path_li's
-    fused branch exactly: miss/alive update -> shade (_shade_body) ->
-    NEE occlusion -> resolve (shade_fused._resolve_kernel order) ->
-    next-ray trace (skipped on the final bounce, path.rs never traces
-    past max_depth)."""
-    dim0 = sc_ref[0]
-    bounce = sc_ref[1]
-
-    def st(name):
-        return st_ref[_ST[name]]
-
+    """One path bounce on values (shared by the scanned two-kernel
+    driver and the one-kernel wave).  Order matches path_li's fused
+    branch exactly: miss/alive update -> shade (_shade_body) -> NEE
+    occlusion -> resolve (shade_fused._resolve_kernel order).  ``st``
+    is a by-name state getter; ``bounce`` a traced/const i32 scalar.
+    Returns (o2, d2, beta2, rad, alive2, spec2, rc2) — the caller owns
+    the next-ray trace (skipped past max_depth, path.rs never traces
+    there)."""
     o = (st("ox"), st("oy"), st("oz"))
     d = (st("dx"), st("dy"), st("dz"))
     beta = (st("bx"), st("by"), st("bz"))
@@ -587,7 +585,7 @@ def _bounce_kernel(sc_ref, st_ref, ph_ref, ms_ref, tri_ref, trs_ref,
             spm=lambda s, i: sp_ref[s, i],
             center=center,
             diag=ms_ref[0, _MS_DIAG],
-            ph_base=ph_ref[0],
+            ph_base=ph_base,
             n_lights=n_lights, light_types=light_types,
             n_spheres=n_spheres, present=present, has_sigma=has_sigma,
         )
@@ -651,6 +649,34 @@ def _bounce_kernel(sc_ref, st_ref, ph_ref, ms_ref, tri_ref, trs_ref,
     not_last = bounce < jnp.int32(max_depth - 1)
     nl_f = zero + not_last.astype(jnp.float32)
     rc2 = rc + alive2.astype(jnp.float32) * nl_f
+    return o2, d2v, beta2, rad, alive2, spec2, rc2
+
+
+def _bounce_kernel(sc_ref, st_ref, ph_ref, ms_ref, tri_ref, trs_ref,
+                   trb_ref, matb_ref, lt_ref, sp_ref, td_ref, tex_ref,
+                   pal_ref, st_out, *,
+                   n_tris, n_spheres, n_lights, light_types, present,
+                   has_sigma, has_clamp, has_tex, pool_pad, pal_colors,
+                   max_depth, knock=frozenset(), interp=False):
+    """Ref wrapper over _bounce_values: one bounce per pallas_call,
+    state round-tripped through the [_N_ST, rows, 128] HBM planes (the
+    scanned two-kernel driver)."""
+    dim0 = sc_ref[0]
+    bounce = sc_ref[1]
+
+    def st(name):
+        return st_ref[_ST[name]]
+
+    o2, d2v, beta2, rad, alive2, spec2, rc2 = _bounce_values(
+        dim0, bounce, st, ph_ref[0], ms_ref, tri_ref, trs_ref, trb_ref,
+        matb_ref, lt_ref, sp_ref, td_ref, tex_ref, pal_ref,
+        n_tris=n_tris, n_spheres=n_spheres, n_lights=n_lights,
+        light_types=light_types, present=present, has_sigma=has_sigma,
+        has_clamp=has_clamp, has_tex=has_tex, pool_pad=pool_pad,
+        pal_colors=pal_colors, max_depth=max_depth, knock=knock,
+        interp=interp,
+    )
+    zero = jnp.zeros_like(rc2)
 
     st_out[_ST["ox"]] = o2[0]
     st_out[_ST["oy"]] = o2[1]
@@ -680,6 +706,8 @@ def _bounce_kernel(sc_ref, st_ref, ph_ref, ms_ref, tri_ref, trs_ref,
     if "trace" in knock:  # pragma: no cover - perf attribution only
         return
 
+    not_last = bounce < jnp.int32(max_depth - 1)
+
     @pl.when(not_last)
     def _trace_next():
         t_max2 = jnp.where(alive2, F32_MAX, 0.0)
@@ -694,6 +722,65 @@ def _bounce_kernel(sc_ref, st_ref, ph_ref, ms_ref, tri_ref, trs_ref,
         st_out[_ST["hitf"]] = hitf2
 
 
+def _wave_kernel(sc_ref, pxpy_ref, ms_ref, tri_ref, trs_ref, trb_ref,
+                 matb_ref, lt_ref, sp_ref, td_ref, tex_ref, pal_ref,
+                 out_ref, *,
+                 n_tris, n_spheres, n_lights, light_types, present,
+                 has_sigma, has_clamp, has_tex, pool_pad, pal_colors,
+                 max_depth, dims_per_bounce, knock=frozenset(),
+                 interp=False):
+    """The WHOLE per-sample path in ONE kernel: in-kernel raygen +
+    max_depth statically-unrolled bounces, wave state resident in
+    VMEM/registers for the full path (the scanned two-kernel driver
+    round-trips the 24-plane state through HBM every bounce and pays a
+    pallas dispatch per bounce — part of the measured ~10.7 ms 'base'
+    term, benchmarks/r4_waveknock.py).  Output is only what the
+    renderer consumes: [4, 8, 128] = radiance rgb + ray_count.
+    Bitwise-identical maths to the scanned form: same _raygen_values /
+    _bounce_values bodies, same order; the bounce index becomes a
+    folded constant."""
+    ph, stv = _raygen_values(
+        pxpy_ref[0], pxpy_ref[1], sc_ref[2], sc_ref[3], ms_ref,
+        tri_ref, sp_ref, n_tris=n_tris, n_spheres=n_spheres,
+    )
+    for b in range(max_depth):
+        def st(name, _s=stv):
+            return _s[name]
+
+        o2, d2v, beta2, rad, alive2, spec2, rc2 = _bounce_values(
+            jnp.int32(2 + b * dims_per_bounce), jnp.int32(b), st, ph,
+            ms_ref, tri_ref, trs_ref, trb_ref, matb_ref, lt_ref,
+            sp_ref, td_ref, tex_ref, pal_ref,
+            n_tris=n_tris, n_spheres=n_spheres, n_lights=n_lights,
+            light_types=light_types, present=present,
+            has_sigma=has_sigma, has_clamp=has_clamp, has_tex=has_tex,
+            pool_pad=pool_pad, pal_colors=pal_colors,
+            max_depth=max_depth, knock=knock, interp=interp,
+        )
+        zero = jnp.zeros_like(rc2)
+        stv = dict(
+            ox=o2[0], oy=o2[1], oz=o2[2],
+            dx=d2v[0], dy=d2v[1], dz=d2v[2],
+            bx=beta2[0], by=beta2[1], bz=beta2[2],
+            rx=rad[0], ry=rad[1], rz=rad[2],
+            alive=alive2.astype(jnp.float32),
+            spec=spec2.astype(jnp.float32), rc=rc2,
+            t=zero, b0=zero, b1=zero,
+            prim=zero - 1.0, sph=zero - 1.0, hitf=zero,
+        )
+        if b < max_depth - 1 and "trace" not in knock:
+            t_max2 = jnp.where(alive2, F32_MAX, 0.0)
+            t, prim2, nb0, nb1, sph2, hitf2 = _trace_scene(
+                tri_ref, sp_ref, n_tris, n_spheres, o2, d2v, t_max2
+            )
+            stv.update(t=t, b0=nb0, b1=nb1, prim=prim2, sph=sph2,
+                       hitf=hitf2)
+    out_ref[0] = stv["rx"]
+    out_ref[1] = stv["ry"]
+    out_ref[2] = stv["rz"]
+    out_ref[3] = stv["rc"]
+
+
 # --------------------------------------------------------------------
 # Driver
 # --------------------------------------------------------------------
@@ -701,6 +788,12 @@ def _bounce_kernel(sc_ref, st_ref, ph_ref, ms_ref, tri_ref, trs_ref,
 # "auto": on-TPU production; "off": never; "interpret": force interpret
 # mode on any backend (CPU equivalence tests).
 PATH_FUSED_MODE = "auto"
+
+# One-kernel wave: raygen + all bounces in a single pallas_call with
+# the state resident in VMEM (see _wave_kernel).  Bitwise-identical to
+# the scanned two-kernel form (same value bodies, same order); kept
+# flag-gated until its Mosaic compile is validated on the chip.
+PATH_FUSED_ONEKERNEL = False
 
 # Perf-attribution knockouts (benchmarks/r4_waveknock.py): subset of
 # {"rowsel", "tex", "shade", "occl", "trace"} disabling that stage of
@@ -804,17 +897,21 @@ def _tex_tables(atlas, pool_texels: int):
 
 
 def _tex_tables_pal(atlas, pool_texels: int):
-    """Palette variant of _tex_tables: pal-index LHS [256, Q] bf16 +
-    palette table [8, 128] bf16 (rows 0..2 = r/g/b integer values)."""
+    """Palette variant of _tex_tables: packed pal-index LHS [88, Q]
+    f32 (3 rems per row, base-128: see _texel_select_pal) + palette
+    table [8, 128] f32 (rows 0..2 = r/g/b integer values)."""
     pool_pad = max(-(-pool_texels // 256), 1) * 256
     pidx = atlas.pal_idx
     pad = pool_pad - pidx.shape[0]
     pidxp = jnp.pad(pidx, (0, pad))
-    lhs = (
-        pidxp.reshape(pool_pad // 256, 256)
-        .transpose(1, 0)
-        .astype(jnp.bfloat16)
-    )  # [256, Q]
+    byq = pidxp.reshape(pool_pad // 256, 256)  # [Q, 256] (q, rem)
+    byq = jnp.pad(byq, ((0, 0), (0, 2))).reshape(-1, 86, 3)
+    packed = (
+        byq[..., 0] * 16384 + byq[..., 1] * 128 + byq[..., 2]
+    )  # [Q, 86]
+    lhs = jnp.pad(packed.transpose(1, 0), ((0, 2), (0, 0))).astype(
+        jnp.float32
+    )  # [88, Q]
     n_pal = atlas.palette.shape[0]
     pal = jnp.zeros((8, LANES), jnp.float32)
     pal = pal.at[:3, :n_pal].set(atlas.palette.T)
@@ -904,6 +1001,45 @@ def path_li_wave(data, meta, camera, sampler, params, px, py,
 
     block = lambda p_: pl.BlockSpec((p_, 8, LANES), lambda i, s: (0, i, 0))
     full = lambda shp: pl.BlockSpec(shp, lambda i, s: tuple(0 for _ in shp))
+
+    if PATH_FUSED_ONEKERNEL:
+        grid_w = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(grid,),
+            in_specs=[block(2), full(ms.shape), full(tri.shape),
+                      full(trs.shape), full(trb.shape),
+                      full(matb.shape), full(lt.shape), full(sp.shape),
+                      full(td.shape), full(tex.shape), full(pal.shape)],
+            out_specs=[block(4)],
+        )
+        with pass_scope("path_fused.wave1k"):
+            (out,) = pl.pallas_call(
+                functools.partial(
+                    _wave_kernel,
+                    n_tris=n_tris, n_spheres=n_spheres,
+                    n_lights=n_lights,
+                    light_types=tuple(meta.light_types),
+                    present=frozenset(meta.material_types),
+                    has_sigma=bool(meta.has_sigma or meta.has_sigma_tex),
+                    has_clamp=params.indirect_clamp is not None,
+                    has_tex=has_tex, pool_pad=pool_pad,
+                    pal_colors=pal_colors, max_depth=max_depth,
+                    dims_per_bounce=dims_per_bounce,
+                    knock=frozenset(knock), interp=interpret,
+                ),
+                grid_spec=grid_w,
+                out_shape=[
+                    jax.ShapeDtypeStruct((4, rows, LANES), jnp.float32)
+                ],
+                interpret=interpret,
+            )(sc_a, pxpy, ms, tri, trs, trb, matb, lt, sp, td, tex, pal)
+        li = jnp.stack(
+            [out[0].reshape(n)[:n0], out[1].reshape(n)[:n0],
+             out[2].reshape(n)[:n0]],
+            axis=-1,
+        )
+        ray_count = out[3].reshape(n)[:n0].astype(jnp.int32)
+        return li, ray_count
 
     grid_a = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
