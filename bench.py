@@ -56,9 +56,15 @@ def bench_scene(scene, cam_params, res, spp, max_depth, wave_tiles=1024,
             )
         waves.append(jnp.asarray(origins))
 
-    # Warmup/compile on the first wave.
+    # Warmup/compile on the first wave.  Drain with a SCALAR host fetch:
+    # block_until_ready on array outputs does not reliably block on the
+    # axon backend (benchmarks/_timing.py), and an undrained warmup puts
+    # the minutes-long remote compile INSIDE the timed region — the
+    # entire r4 "93x Cornell regression" (BENCH_r04 0.592 vs 55.3) was
+    # this: 132.6M rays / 0.592 Mrays/s = 224 s ≈ the cold-cache compile
+    # of the (actually 2.3x faster) fused wave, r5_cornell_diag.
     px, rays = render(waves[0], jnp.int32(0), jnp.uint32(1))
-    px.block_until_ready()
+    float(rays)
 
     t0 = time.monotonic()
     total_rays = jnp.float32(0.0)
@@ -75,6 +81,88 @@ def bench_scene(scene, cam_params, res, spp, max_depth, wave_tiles=1024,
         "spp_s": spp / elapsed,
         "elapsed_s": elapsed,
     }
+
+
+def _stage_knocks(scene):
+    """Knockout sets that attribute a scene's wave time to stages.
+
+    Returns [(label, apply_fn, revert_fn)] where apply_fn flips the
+    relevant module-level knock knob.  Dense scenes run through the
+    fused wave (PATH_FUSED_KNOCK stages); treelet scenes through the
+    path_li chain (PATHLI_KNOCK) with traversal sub-knocks
+    (TRAVERSE_KNOCK)."""
+    from yuki_tpu import traverse
+    from yuki_tpu import integrators
+    from yuki_tpu.ops import path_fused
+
+    knocks = []
+    if scene.meta.traversal == "dense":
+        for stage in ("rowsel", "tex", "shade", "occl", "trace"):
+            knocks.append(("path_fused." + stage, path_fused,
+                           "PATH_FUSED_KNOCK", frozenset([stage])))
+    else:
+        for stage in ("closest", "shade", "occl", "resolve"):
+            knocks.append(("path_li." + stage, integrators,
+                           "PATHLI_KNOCK", frozenset([stage])))
+        for stage in ("probe", "wide", "bary", "spheres"):
+            knocks.append(("traverse." + stage, traverse,
+                           "TRAVERSE_KNOCK", frozenset([stage])))
+    return knocks
+
+
+def bench_stages(scene, cam_params, res, max_depth, wave_tiles=1024,
+                 samples_per_launch=1):
+    """Per-stage attribution by knockout deltas: time ONE production
+    wave, then re-time it with each stage knocked out; stage cost ≈
+    full − knocked.  Each knock is a separate compile (cached across
+    runs via the persistent compilation cache).  Results are WRONG
+    images by design — never mixed with the headline numbers."""
+    import jax
+    import jax.numpy as jnp
+
+    from yuki_tpu.camera import Camera
+    from yuki_tpu.film import FilmSettings, film_tiles
+    from yuki_tpu.integrators import PathParams
+    from yuki_tpu.renderer import make_wave_renderer
+    from yuki_tpu.sampling import UniformSampler
+
+    w, h = res
+    camera = Camera.create(cam_params, w, h)
+    sampler = UniformSampler(1)
+    fs = FilmSettings(res=res, tile_dim=16)
+    tiles = film_tiles(fs)[:wave_tiles]
+    origins = np.asarray([[t.x0, t.y0] for t in tiles], dtype=np.int32)
+    if len(tiles) < wave_tiles:
+        origins = np.concatenate(
+            [origins, np.zeros((wave_tiles - len(tiles), 2), np.int32)]
+        )
+    origins = jnp.asarray(origins)
+
+    def time_config():
+        render = make_wave_renderer(
+            scene, camera, sampler, PathParams(max_depth=max_depth), 16,
+            wave_tiles, samples_per_launch=samples_per_launch,
+        )
+        px, rays = render(origins, jnp.int32(0), jnp.uint32(1))
+        float(rays)  # drain (block_until_ready is unreliable on axon)
+        reps = 3
+        t0 = time.monotonic()
+        for _ in range(reps):
+            px, rays = render(origins, jnp.int32(0), jnp.uint32(1))
+        float(rays)
+        return (time.monotonic() - t0) / reps * 1e3
+
+    full_ms = time_config()
+    stages = {"full_wave_ms": round(full_ms, 1)}
+    for label, mod, attr, knockset in _stage_knocks(scene):
+        old = getattr(mod, attr)
+        setattr(mod, attr, knockset)
+        try:
+            knocked_ms = time_config()
+        finally:
+            setattr(mod, attr, old)
+        stages[label + "_ms"] = round(full_ms - knocked_ms, 1)
+    return stages
 
 
 def load_atrium():
@@ -145,8 +233,11 @@ def _device_watchdog(timeout_s: float = 600.0) -> bool:
 
 def main():
     import os
+    import sys
 
     import jax
+
+    stages_mode = "--stages" in sys.argv[1:]
 
     # Persistent compilation cache: remote compiles cost minutes; repeat
     # runs of the same graphs (driver round-end, preview iterations)
@@ -184,6 +275,20 @@ def main():
         scene_a, cam_a, (1920, 1080), spp=1, max_depth=5
     )
 
+    stages = {}
+    if stages_mode:
+        # Per-stage knockout attribution (VERDICT r4 item 6): lets the
+        # bench artifact itself diagnose a regression instead of one
+        # opaque aggregate.  Not run by the driver (args-less bench.py)
+        # — each knockout is its own compile.
+        stages["cornell"] = bench_stages(
+            scene_c, cam_c, (1920, 1080), max_depth=5, wave_tiles=4096,
+            samples_per_launch=16,
+        )
+        stages["colonnade"] = bench_stages(
+            scene_l, cam_l, (1920, 1080), max_depth=5
+        )
+
     # vs_baseline is keyed to the LARGE scene: the driver target is
     # "≥200 Mrays/s/chip on Sponza-class scenes" (BASELINE.md:20-24), and
     # the 124k-triangle colonnade is our Sponza-class workload. Cornell is
@@ -205,6 +310,7 @@ def main():
                 "colonnade_spp_per_s": round(colonnade_stats["spp_s"], 3),
                 "atrium_asset_mrays_s": round(atrium_stats["mrays_s"], 3),
                 "atrium_spp_per_s": round(atrium_stats["spp_s"], 3),
+                **({"stages": stages} if stages else {}),
             }
         )
     )

@@ -301,6 +301,9 @@ class ViewerState:
             self.last_integrator = kind
             self.last_camera = Camera.create(cam, rx_eff, ry_eff)
             self.film = film_or_new(self.film, fs)
+            # Synchronous status flip: pollers must never read the
+            # previous render's terminal "done" line as this one's.
+            self.status_text = "rendering..."
             self.renderer.launch(
                 self.scene, cam, self.film, sampler, integrator, fs,
                 RenderSettings(),
@@ -469,8 +472,12 @@ class ViewerState:
         return buf.getvalue()
 
 
-def serve(settings: InitialSettings, port: int = 8000):
-    state = ViewerState(settings)
+def make_server(settings: InitialSettings, port: int = 8000,
+                state: "ViewerState | None" = None) -> ThreadingHTTPServer:
+    """Build the viewer HTTP server without entering serve_forever —
+    separable so endpoint tests can run it on an ephemeral port
+    (tests/test_viewer.py) exactly as production serves it."""
+    state = state or ViewerState(settings)
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):
@@ -546,5 +553,11 @@ def serve(settings: InitialSettings, port: int = 8000):
                 self._send(404, "text/plain", b"")
 
     server = ThreadingHTTPServer(("127.0.0.1", port), Handler)
-    print(f"yuki-tpu viewer on http://127.0.0.1:{port}")
+    server.viewer_state = state  # test/introspection handle
+    return server
+
+
+def serve(settings: InitialSettings, port: int = 8000):
+    server = make_server(settings, port)
+    print(f"yuki-tpu viewer on http://127.0.0.1:{server.server_address[1]}")
     server.serve_forever()

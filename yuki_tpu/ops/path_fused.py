@@ -35,9 +35,13 @@ path_li's XLA chain implements them (integrators/__init__.py); the
 trace is the watertight test of shapes/triangle.rs:49-130 and the
 stable-q sphere quadratic of shapes/sphere.rs:37-89.
 
-Support gate (wave_supported): UniformSampler, dense traversal with
-n_tris <= 64 (static unroll bound), untextured sphere materials, no
-sigma textures, u8-exact texel pool <= 65536 texels.
+Support gate (wave_supported): Uniform or Stratified sampler (the
+stratified strata are path-independent, so the driver hoists the whole
+sampler to an XLA prologue of [2+depth*(2L+3), rows, 128] sample planes
+the kernels read positionally — stratified.rs:104-146 semantics, same
+hoist as shade_fused's round-4 stratified support), dense traversal
+with n_tris <= 64 (static unroll bound), untextured sphere materials,
+no sigma textures, u8-exact texel pool <= 65536 texels.
 """
 
 from __future__ import annotations
@@ -327,8 +331,7 @@ def _texel_select(tex_ref, q, rem, knock=frozenset()):
     return tuple(jnp.concatenate(outs[ch], axis=0) for ch in range(3))
 
 
-def _texel_select_pal(texp_ref, pal_ref, q, rem, interp=False,
-                      knock=frozenset()):
+def _texel_select_pal(texp_ref, pal_ref, q, rem, knock=frozenset()):
     """Palette texel fetch on the MXU (gated by meta.texpool_palette;
     scene/data.py builds pal_idx/palette when the u8 pool has <= 128
     distinct RGB triples — Cornell's tiling: 97/65536).
@@ -412,7 +415,7 @@ def _tex_index(td_ref, tex0_f, uv_s, uv_t, n_textures, pool_pad):
 
 
 def _raygen_values(px, py, sample_index, seed, ms_ref, tri_ref, sp_ref,
-                   *, n_tris, n_spheres):
+                   *, n_tris, n_spheres, jitter=None):
     """Camera raygen + bounce-0 closest hit, on values (shared by the
     two-kernel scanned driver and the one-kernel wave).
 
@@ -420,14 +423,22 @@ def _raygen_values(px, py, sample_index, seed, ms_ref, tri_ref, sp_ref,
     exactly as sampling.SampleCtx.pixel_hash/_dim_u32 (i32 wrapping ops
     are bit-identical to the u32 forms); camera ray = camera.Camera.ray
     (projective raster_to_camera, two normalizes).  Returns (ph, state
-    dict keyed by _ST names)."""
+    dict keyed by _ST names).
+
+    ``jitter``: optional (jx, jy) planes of precomputed pixel-jitter
+    sample values (the stratified driver hoists the sampler to an XLA
+    prologue — strata are path-independent, stratified.rs:104-146) in
+    place of the in-kernel UniformSampler hash."""
     gold = jnp.int32(-1640531527)  # 0x9E3779B9
     h = _pcg(gold ^ seed)
     key = jax.lax.shift_left(px, jnp.int32(16)) | py
     ph = _pcg(_pcg(h ^ key) ^ sample_index)
 
-    jx = _dim_f32(ph, jnp.int32(0))
-    jy = _dim_f32(ph, jnp.int32(1))
+    if jitter is None:
+        jx = _dim_f32(ph, jnp.int32(0))
+        jy = _dim_f32(ph, jnp.int32(1))
+    else:
+        jx, jy = jitter
     x = px.astype(jnp.float32) + jx
     y = py.astype(jnp.float32) + jy
 
@@ -469,14 +480,22 @@ def _raygen_values(px, py, sample_index, seed, ms_ref, tri_ref, sp_ref,
     return ph, stv
 
 
-def _raygen_trace_kernel(sc_ref, pxpy_ref, ms_ref, tri_ref, sp_ref,
-                         st_out, ph_out, *, n_tris, n_spheres):
+def _raygen_trace_kernel(sc_ref, pxpy_ref, *refs, n_tris, n_spheres,
+                         strat=False):
     """Ref wrapper over _raygen_values (the scanned two-kernel driver).
     sc: i32 [8] (slots 2/3 = sample_index/seed bitcast).  pxpy:
-    [2,8,128] i32 pixel coords."""
+    [2,8,128] i32 pixel coords.  When ``strat``, an extra spl_ref
+    [2,8,128] f32 of precomputed jitter planes precedes ms_ref."""
+    if strat:
+        spl_ref, ms_ref, tri_ref, sp_ref, st_out, ph_out = refs
+        jitter = (spl_ref[0], spl_ref[1])
+    else:
+        ms_ref, tri_ref, sp_ref, st_out, ph_out = refs
+        jitter = None
     ph, stv = _raygen_values(
         pxpy_ref[0], pxpy_ref[1], sc_ref[2], sc_ref[3], ms_ref,
         tri_ref, sp_ref, n_tris=n_tris, n_spheres=n_spheres,
+        jitter=jitter,
     )
     ph_out[0] = ph
     zero = jnp.zeros_like(stv["rc"])
@@ -492,7 +511,7 @@ def _bounce_values(dim0, bounce, st, ph_base, ms_ref, tri_ref, trs_ref,
                    pal_ref, *,
                    n_tris, n_spheres, n_lights, light_types, present,
                    has_sigma, has_clamp, has_tex, pool_pad, pal_colors,
-                   max_depth, knock=frozenset(), interp=False):
+                   max_depth, knock=frozenset(), urand=None):
     """One path bounce on values (shared by the scanned two-kernel
     driver and the one-kernel wave).  Order matches path_li's fused
     branch exactly: miss/alive update -> shade (_shade_body) -> NEE
@@ -548,7 +567,7 @@ def _bounce_values(dim0, bounce, st, ph_base, ms_ref, tri_ref, trs_ref,
         rem = idx & jnp.int32(255)
         if pal_colors:
             kr, kg, kb = _texel_select_pal(tex_ref, pal_ref, q, rem,
-                                           interp=interp, knock=knock)
+                                           knock=knock)
         else:
             kr, kg, kb = _texel_select(tex_ref, q, rem, knock=knock)
         inv255 = jnp.float32(255.0)
@@ -585,7 +604,8 @@ def _bounce_values(dim0, bounce, st, ph_base, ms_ref, tri_ref, trs_ref,
             spm=lambda s, i: sp_ref[s, i],
             center=center,
             diag=ms_ref[0, _MS_DIAG],
-            ph_base=ph_base,
+            ph_base=None if urand is not None else ph_base,
+            urand=urand,
             n_lights=n_lights, light_types=light_types,
             n_spheres=n_spheres, present=present, has_sigma=has_sigma,
         )
@@ -652,15 +672,24 @@ def _bounce_values(dim0, bounce, st, ph_base, ms_ref, tri_ref, trs_ref,
     return o2, d2v, beta2, rad, alive2, spec2, rc2
 
 
-def _bounce_kernel(sc_ref, st_ref, ph_ref, ms_ref, tri_ref, trs_ref,
-                   trb_ref, matb_ref, lt_ref, sp_ref, td_ref, tex_ref,
-                   pal_ref, st_out, *,
+def _bounce_kernel(sc_ref, st_ref, ph_ref, *refs,
                    n_tris, n_spheres, n_lights, light_types, present,
                    has_sigma, has_clamp, has_tex, pool_pad, pal_colors,
-                   max_depth, knock=frozenset(), interp=False):
+                   max_depth, knock=frozenset(), strat=False):
     """Ref wrapper over _bounce_values: one bounce per pallas_call,
     state round-tripped through the [_N_ST, rows, 128] HBM planes (the
-    scanned two-kernel driver)."""
+    scanned two-kernel driver).  When ``strat``, an extra spl_ref
+    [dims_per_bounce,8,128] f32 of precomputed stratified sample planes
+    precedes ms_ref; _shade_body reads them positionally in place of
+    the in-kernel UniformSampler hash."""
+    if strat:
+        (spl_ref, ms_ref, tri_ref, trs_ref, trb_ref, matb_ref, lt_ref,
+         sp_ref, td_ref, tex_ref, pal_ref, st_out) = refs
+        urand = lambda k: spl_ref[k]
+    else:
+        (ms_ref, tri_ref, trs_ref, trb_ref, matb_ref, lt_ref,
+         sp_ref, td_ref, tex_ref, pal_ref, st_out) = refs
+        urand = None
     dim0 = sc_ref[0]
     bounce = sc_ref[1]
 
@@ -674,7 +703,7 @@ def _bounce_kernel(sc_ref, st_ref, ph_ref, ms_ref, tri_ref, trs_ref,
         light_types=light_types, present=present, has_sigma=has_sigma,
         has_clamp=has_clamp, has_tex=has_tex, pool_pad=pool_pad,
         pal_colors=pal_colors, max_depth=max_depth, knock=knock,
-        interp=interp,
+        urand=urand,
     )
     zero = jnp.zeros_like(rc2)
 
@@ -722,13 +751,11 @@ def _bounce_kernel(sc_ref, st_ref, ph_ref, ms_ref, tri_ref, trs_ref,
         st_out[_ST["hitf"]] = hitf2
 
 
-def _wave_kernel(sc_ref, pxpy_ref, ms_ref, tri_ref, trs_ref, trb_ref,
-                 matb_ref, lt_ref, sp_ref, td_ref, tex_ref, pal_ref,
-                 out_ref, *,
+def _wave_kernel(sc_ref, pxpy_ref, *refs,
                  n_tris, n_spheres, n_lights, light_types, present,
                  has_sigma, has_clamp, has_tex, pool_pad, pal_colors,
                  max_depth, dims_per_bounce, knock=frozenset(),
-                 interp=False):
+                 strat=False):
     """The WHOLE per-sample path in ONE kernel: in-kernel raygen +
     max_depth statically-unrolled bounces, wave state resident in
     VMEM/registers for the full path (the scanned two-kernel driver
@@ -738,10 +765,21 @@ def _wave_kernel(sc_ref, pxpy_ref, ms_ref, tri_ref, trs_ref, trb_ref,
     renderer consumes: [4, 8, 128] = radiance rgb + ray_count.
     Bitwise-identical maths to the scanned form: same _raygen_values /
     _bounce_values bodies, same order; the bounce index becomes a
-    folded constant."""
+    folded constant.  When ``strat``, an extra spl_ref
+    [2+max_depth*dims_per_bounce,8,128] f32 of precomputed sample
+    planes precedes ms_ref (see _bounce_kernel)."""
+    if strat:
+        (spl_ref, ms_ref, tri_ref, trs_ref, trb_ref, matb_ref, lt_ref,
+         sp_ref, td_ref, tex_ref, pal_ref, out_ref) = refs
+        jitter = (spl_ref[0], spl_ref[1])
+    else:
+        (ms_ref, tri_ref, trs_ref, trb_ref, matb_ref, lt_ref,
+         sp_ref, td_ref, tex_ref, pal_ref, out_ref) = refs
+        jitter = None
     ph, stv = _raygen_values(
         pxpy_ref[0], pxpy_ref[1], sc_ref[2], sc_ref[3], ms_ref,
         tri_ref, sp_ref, n_tris=n_tris, n_spheres=n_spheres,
+        jitter=jitter,
     )
     for b in range(max_depth):
         def st(name, _s=stv):
@@ -755,7 +793,11 @@ def _wave_kernel(sc_ref, pxpy_ref, ms_ref, tri_ref, trs_ref, trb_ref,
             light_types=light_types, present=present,
             has_sigma=has_sigma, has_clamp=has_clamp, has_tex=has_tex,
             pool_pad=pool_pad, pal_colors=pal_colors,
-            max_depth=max_depth, knock=knock, interp=interp,
+            max_depth=max_depth, knock=knock,
+            urand=(
+                (lambda k, _b=b: spl_ref[2 + _b * dims_per_bounce + k])
+                if strat else None
+            ),
         )
         zero = jnp.zeros_like(rc2)
         stv = dict(
@@ -805,9 +847,9 @@ def wave_supported(meta, sampler) -> bool:
     """Static gate, decided from SceneMeta/sampler only (never probe
     device arrays — see shade_fused.fused_shade_supported's round-3
     tracing bug)."""
-    from ..sampling import UniformSampler
+    from ..sampling import StratifiedSampler, UniformSampler
 
-    if not isinstance(sampler, UniformSampler):
+    if not isinstance(sampler, (UniformSampler, StratifiedSampler)):
         return False
     if meta.traversal != "dense" or meta.n_tris > MAX_TRIS:
         return False
@@ -944,6 +986,36 @@ def path_li_wave(data, meta, camera, sampler, params, px, py,
         [px.reshape(rows, LANES), py.reshape(rows, LANES)], axis=0
     )
 
+    from ..sampling import SampleCtx, StratifiedSampler
+
+    strat = isinstance(sampler, StratifiedSampler)
+    if strat:
+        # Stratified prologue: ALL the wave's sample values computed by
+        # the sampler's own XLA code (raygen dims 0-1 + per-bounce
+        # 2L+3), stacked plane-major; kernel parity with the XLA chain
+        # is value-identical by construction.  Strata depend only on
+        # (seed, pixel, sample, dim) — never on the path — so the hoist
+        # is semantics-preserving (the pbrt-v4 seeking contract,
+        # sampling/mod.rs:46-57).
+        ctx = SampleCtx(px=px, py=py, sample_index=sample_index,
+                        seed=seed)
+        vals = []
+        u2 = sampler.get_2d(ctx, 0)
+        vals += [u2[..., 0], u2[..., 1]]
+        for b in range(max_depth):
+            d0 = 2 + b * dims_per_bounce
+            for li_i in range(n_lights):
+                u2 = sampler.get_2d(ctx, d0 + 2 * li_i)
+                vals += [u2[..., 0], u2[..., 1]]
+            u2 = sampler.get_2d(ctx, d0 + 2 * n_lights)
+            vals += [u2[..., 0], u2[..., 1]]
+            vals.append(sampler.get_1d(ctx, d0 + 2 * n_lights + 2))
+        spl = jnp.stack(
+            [v.reshape(rows, LANES) for v in vals], axis=0
+        )
+    else:
+        spl = None
+
     # misc table
     r2c = jnp.asarray(camera.raster_to_camera, jnp.float32).reshape(16)
     c2w = jnp.asarray(camera.camera_to_world, jnp.float32).reshape(16)
@@ -1003,10 +1075,13 @@ def path_li_wave(data, meta, camera, sampler, params, px, py,
     full = lambda shp: pl.BlockSpec(shp, lambda i, s: tuple(0 for _ in shp))
 
     if PATH_FUSED_ONEKERNEL:
+        spl_specs = [block(spl.shape[0])] if strat else []
+        spl_args = (spl,) if strat else ()
         grid_w = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(grid,),
-            in_specs=[block(2), full(ms.shape), full(tri.shape),
+            in_specs=[block(2)] + spl_specs + [
+                      full(ms.shape), full(tri.shape),
                       full(trs.shape), full(trb.shape),
                       full(matb.shape), full(lt.shape), full(sp.shape),
                       full(td.shape), full(tex.shape), full(pal.shape)],
@@ -1025,14 +1100,15 @@ def path_li_wave(data, meta, camera, sampler, params, px, py,
                     has_tex=has_tex, pool_pad=pool_pad,
                     pal_colors=pal_colors, max_depth=max_depth,
                     dims_per_bounce=dims_per_bounce,
-                    knock=frozenset(knock), interp=interpret,
+                    knock=frozenset(knock), strat=strat,
                 ),
                 grid_spec=grid_w,
                 out_shape=[
                     jax.ShapeDtypeStruct((4, rows, LANES), jnp.float32)
                 ],
                 interpret=interpret,
-            )(sc_a, pxpy, ms, tri, trs, trb, matb, lt, sp, td, tex, pal)
+            )(sc_a, pxpy, *spl_args, ms, tri, trs, trb, matb, lt, sp,
+              td, tex, pal)
         li = jnp.stack(
             [out[0].reshape(n)[:n0], out[1].reshape(n)[:n0],
              out[2].reshape(n)[:n0]],
@@ -1041,17 +1117,21 @@ def path_li_wave(data, meta, camera, sampler, params, px, py,
         ray_count = out[3].reshape(n)[:n0].astype(jnp.int32)
         return li, ray_count
 
+    rg_spl_specs = [block(2)] if strat else []
+    rg_spl_args = (spl[:2],) if strat else ()
     grid_a = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(grid,),
-        in_specs=[block(2), full(ms.shape), full(tri.shape),
+        in_specs=[block(2)] + rg_spl_specs + [
+                  full(ms.shape), full(tri.shape),
                   full(sp.shape)],
         out_specs=[block(_N_ST), block(1)],
     )
     with pass_scope("path_fused.raygen_trace"):
         st, ph = pl.pallas_call(
             functools.partial(
-                _raygen_trace_kernel, n_tris=n_tris, n_spheres=n_spheres
+                _raygen_trace_kernel, n_tris=n_tris,
+                n_spheres=n_spheres, strat=strat,
             ),
             grid_spec=grid_a,
             out_shape=[
@@ -1059,12 +1139,14 @@ def path_li_wave(data, meta, camera, sampler, params, px, py,
                 jax.ShapeDtypeStruct((1, rows, LANES), jnp.int32),
             ],
             interpret=interpret,
-        )(sc_a, pxpy, ms, tri, sp)
+        )(sc_a, pxpy, *rg_spl_args, ms, tri, sp)
 
+    b_spl_specs = [block(dims_per_bounce)] if strat else []
     grid_b = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(grid,),
-        in_specs=[block(_N_ST), block(1), full(ms.shape),
+        in_specs=[block(_N_ST), block(1)] + b_spl_specs + [
+                  full(ms.shape),
                   full(tri.shape), full(trs.shape), full(trb.shape),
                   full(matb.shape),
                   full(lt.shape), full(sp.shape), full(td.shape),
@@ -1081,7 +1163,7 @@ def path_li_wave(data, meta, camera, sampler, params, px, py,
             has_clamp=params.indirect_clamp is not None,
             has_tex=has_tex, pool_pad=pool_pad, pal_colors=pal_colors,
             max_depth=max_depth,
-            knock=frozenset(knock), interp=interpret,
+            knock=frozenset(knock), strat=strat,
         ),
         grid_spec=grid_b,
         out_shape=[
@@ -1093,8 +1175,14 @@ def path_li_wave(data, meta, camera, sampler, params, px, py,
     def body(st, b):
         dim0 = jnp.int32(2) + b * jnp.int32(dims_per_bounce)
         sc = jnp.stack([dim0, b, jnp.int32(0), jnp.int32(0)])
-        (st2,) = bounce_call(sc, st, ph, ms, tri, trs, trb, matb, lt,
-                             sp, td, tex, pal)
+        spl_b = (
+            (jax.lax.dynamic_slice_in_dim(
+                spl, 2 + b * dims_per_bounce, dims_per_bounce, axis=0
+            ),)
+            if strat else ()
+        )
+        (st2,) = bounce_call(sc, st, ph, *spl_b, ms, tri, trs, trb,
+                             matb, lt, sp, td, tex, pal)
         return st2, None
 
     with pass_scope("path_fused.bounces"):

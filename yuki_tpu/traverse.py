@@ -41,6 +41,19 @@ FORCE_PALLAS_INTERPRET = False
 # any_intersect().  NEVER set in production — results are wrong.
 TRAVERSE_KNOCK = frozenset()
 
+# Round-5 divergent-branch engine select: True routes the slot branch
+# through the fused bundle-walker (ops/trace_walker.py — no
+# sort/pack/merge stages); False keeps the per-ray slot stream.
+# Defaults decided by the on-chip A/B (benchmarks/r5_walker.py) per
+# the round-5 hard rule — off until that probe records a win.
+WALKER_CLOSEST = False
+WALKER_ANY = False
+# Pair budgets (candidates per 8-ray bundle): colonnade bounce union
+# mean 14.3 natural-order at K=128 (benchmarks/r5_unionstats.py),
+# atrium late bounces grow like the bundle engine's (C_BUN sizing).
+WALKER_MULT = (24, 48)  # closest (tight, wide) tiers
+WALKER_MULT_ANY = (16, 32)
+
 
 def _backend_tpu() -> bool:
     import jax
@@ -467,6 +480,19 @@ def intersect(scene, meta, o, d, t_max, with_stats: bool = False,
                 return t_r, p_r, ov_r, jnp.asarray(True)
 
             def slot_branch(_):
+                # Round-5: the fused bundle-walker deletes the slot
+                # stream's sort/pack/merge data movement entirely
+                # (ops/trace_walker.py; roofline verdict successor).
+                if WALKER_CLOSEST:
+                    from .ops.trace_walker import walker_closest_w
+
+                    words = ts.cross_words(ch, o, d, t_max,
+                                           interpret=interp)
+                    return walker_closest_w(
+                        ch, words, o, d, t_max,
+                        mult=WALKER_MULT[0], mult_wide=WALKER_MULT[1],
+                        interpret=interp, skip=sk,
+                    )
                 # Only the divergent branch needs the exact per-ray
                 # cull; coherent waves skip its cost entirely (the
                 # interval probe above is rows-granular).  Round-3
@@ -692,6 +718,18 @@ def any_intersect(scene, meta, o, d, t_max, skip_light,
                 return occ_r, ov_r, jnp.asarray(True)
 
             def slot_branch(_):
+                # Round-5 walker (see intersect above).
+                if WALKER_ANY:
+                    from .ops.trace_walker import walker_any_w
+
+                    words = ts.cross_words(ch, o, d, t_max,
+                                           interpret=interp)
+                    return walker_any_w(
+                        ch, words, o, d, t_max, skip_light,
+                        mult=WALKER_MULT_ANY[0],
+                        mult_wide=WALKER_MULT_ANY[1],
+                        interpret=interp,
+                    )
                 # Per-ray stream is production (see intersect: bundles
                 # measured slower on-chip); bundles behind bun_any > 1.
                 if meta.bun_any > 1:
