@@ -105,33 +105,38 @@ def main():
         float(jnp.sum(x.astype(jnp.float32) if x.dtype != jnp.float32
                       else x).reshape(())[()])
 
-    import functools
+    def make_jits():
+        # meta is a static dataclass and the flags are read at trace
+        # time, so each configuration needs fresh closures.
+        @jax.jit
+        def close(o, d, t):
+            return traverse.intersect(data, meta, o, d, t,
+                                      skip_sort=True)
+
+        @jax.jit
+        def anyq(o, d, t, sk):
+            return traverse.any_intersect(data, meta, o, d, t, sk,
+                                          skip_sort=True)
+
+        return close, anyq
 
     for walker in (False, True):
         traverse.WALKER_CLOSEST = walker
         traverse.WALKER_ANY = walker
-        close = jax.jit(functools.partial(
-            traverse.intersect, skip_sort=True))
-        anyq = jax.jit(functools.partial(
-            traverse.any_intersect, skip_sort=True))
+        close, anyq = make_jits()
         tag = "walker" if walker else "stream"
         print(f"--- {tag}", flush=True)
-        timed(f"{tag} closest bounce", lambda: close(
-            data, meta, o1, d1, t1))
-        timed(f"{tag} closest primary", lambda: close(
-            data, meta, o0, d0, tmax_full))
-        timed(f"{tag} any shadow", lambda: anyq(
-            data, meta, o_s, d_s, t_s, skip0))
+        timed(f"{tag} closest bounce", lambda: close(o1, d1, t1))
+        timed(f"{tag} closest primary", lambda: close(o0, d0, tmax_full))
+        timed(f"{tag} any shadow", lambda: anyq(o_s, d_s, t_s, skip0))
 
     # Parity spot-check on-chip (non-interpret Mosaic compile!).
     traverse.WALKER_CLOSEST = False
     traverse.WALKER_ANY = False
-    hit_s = jax.block_until_ready(jax.jit(functools.partial(
-        traverse.intersect, skip_sort=True))(data, meta, o1, d1, t1))
+    hit_s = jax.block_until_ready(make_jits()[0](o1, d1, t1))
     traverse.WALKER_CLOSEST = True
     traverse.WALKER_ANY = True
-    hit_w = jax.block_until_ready(jax.jit(functools.partial(
-        traverse.intersect, skip_sort=True))(data, meta, o1, d1, t1))
+    hit_w = jax.block_until_ready(make_jits()[0](o1, d1, t1))
     ps, pw = np.asarray(hit_s.prim), np.asarray(hit_w.prim)
     mism = int((ps != pw).sum())
     print(f"parity: prim mismatches {mism}/{n}", flush=True)

@@ -163,6 +163,38 @@ class TestWalkerClosest:
         assert np.array_equal(np.asarray(p_a), np.asarray(p_b)[256:])
         assert np.array_equal(np.asarray(t_a), np.asarray(t_b)[256:])
 
+    def test_multi_segment_parity(self, soup, monkeypatch):
+        """Forcing several SMEM segments (SEG_B below the wave's bundle
+        count) must be result-invariant: per-bundle runs never split
+        across segments and padded bundles are dead."""
+        from yuki_tpu.ops import trace_walker as tw
+
+        sc, ch = soup
+        o, d = rays(1024, 12)
+        t_max = jnp.full(1024, F32_MAX)
+        t_ref, p_ref, _, _ = closest(ch, o, d, t_max, C=64)
+        monkeypatch.setattr(tw, "SEG_B", 32)  # 128 bundles -> 4 segs
+        t, p, ov, ok = closest(ch, o, d, t_max, C=64)
+        assert bool(ok)
+        assert np.array_equal(np.asarray(p), np.asarray(p_ref))
+        assert np.array_equal(np.asarray(t), np.asarray(t_ref))
+
+    def test_multi_segment_any(self, soup, monkeypatch):
+        from yuki_tpu.ops import trace_walker as tw
+
+        sc, ch = soup
+        o, d = rays(512, 13)
+        t_max = jnp.full(512, F32_MAX)
+        skip = jnp.full(512, -2, jnp.int32)
+        w = cross_words(ch, o, d, t_max)
+        occ_ref, _, _ = walker_any_w(
+            ch, w, o, d, t_max, skip, C=64, mult=70, interpret=True)
+        monkeypatch.setattr(tw, "SEG_B", 16)  # 64 bundles -> 4 segs
+        occ, ov, ok = walker_any_w(
+            ch, w, o, d, t_max, skip, C=64, mult=70, interpret=True)
+        assert bool(ok)
+        assert np.array_equal(np.asarray(occ), np.asarray(occ_ref))
+
     def test_budget_blowout_flags_not_ok(self, soup):
         sc, ch = soup
         o, d = rays(256, 6)

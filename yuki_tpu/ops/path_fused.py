@@ -64,7 +64,15 @@ from .trace import F32_MAX, _watertight, pack_triangles
 
 LANES = 128
 BLOCK = 8 * LANES  # rays per grid step
-MAX_TRIS = 64  # static-unroll gate (matches trace.UNROLL_TRIS)
+MAX_TRIS = 64  # static-unroll threshold (matches trace.UNROLL_TRIS)
+# Fused-wave scene-size gate: above MAX_TRIS the triangle sweeps run as
+# in-kernel fori_loops (dynamic scalar tri reads, like the generic dense
+# kernels past trace.UNROLL_TRIS) instead of static unrolls, so the gate
+# is a cost ceiling, not a compile constraint.  1024 covers every dense
+# scene the builder classifies (scene/data.py DENSE_TRI_THRESHOLD=4096
+# picks treelet traversal well before the brute-force sweep's O(T)
+# per-ray cost could dominate a production render).
+MAX_TRIS_WAVE = 1024
 TEXPOOL_MAX = 65536  # one-hot select cost is linear in pool size
 
 # Carry plane indices (f32 [24, rows, 128]).
@@ -98,23 +106,39 @@ def _tri_cols(tri_ref, i):
 
 
 def _tri_closest(tri_ref, n_tris, o, d, t_max):
-    """Unrolled watertight sweep; same loop/update order as
-    ops/trace._dense_kernel (first-lowest index wins scaled ties)."""
+    """Watertight sweep; same loop/update order as
+    ops/trace._dense_kernel (first-lowest index wins scaled ties).
+    Statically unrolled to MAX_TRIS; above that, an in-kernel fori_loop
+    with dynamic scalar tri reads (ops/trace.py:203-214 precedent — the
+    dynamic loads cost ~6x the static schedule per tri, acceptable for
+    the 64<T<=1024 dense band the gate admits)."""
     shape = o[0].shape
-    t = t_max
-    prim = jnp.full(shape, -1, dtype=jnp.int32)
-    b0 = jnp.zeros(shape, dtype=jnp.float32)
-    b1 = jnp.zeros(shape, dtype=jnp.float32)
-    for i in range(n_tris):
+    init = (
+        t_max,
+        jnp.full(shape, -1, dtype=jnp.int32),
+        jnp.zeros(shape, dtype=jnp.float32),
+        jnp.zeros(shape, dtype=jnp.float32),
+    )
+
+    def body(i, state):
+        t, prim, b0, b1 = state
         hit, ti, bi0, bi1 = _watertight(
             o[0], o[1], o[2], d[0], d[1], d[2], t, _tri_cols(tri_ref, i)
         )
         closer = hit & (ti < t)
-        t = jnp.where(closer, ti, t)
-        prim = jnp.where(closer, i, prim)
-        b0 = jnp.where(closer, bi0, b0)
-        b1 = jnp.where(closer, bi1, b1)
-    return t, prim, b0, b1
+        return (
+            jnp.where(closer, ti, t),
+            jnp.where(closer, i, prim),
+            jnp.where(closer, bi0, b0),
+            jnp.where(closer, bi1, b1),
+        )
+
+    if n_tris <= MAX_TRIS:
+        state = init
+        for i in range(n_tris):
+            state = body(i, state)
+        return state
+    return jax.lax.fori_loop(0, n_tris, body, init)
 
 
 def _spheres_closest(sp_ref, n_spheres, o, d, t_max):
@@ -188,15 +212,22 @@ def _occluded(tri_ref, trs_ref, sp_ref, n_tris, n_spheres, skip_id,
     """any_intersect parity: watertight any over triangles (skipping the
     sampled area light's own triangles, bvh.rs:287-293; area-light id =
     shading row col 27) OR any sphere hit."""
-    occ = jnp.zeros(o[0].shape, dtype=jnp.int32)
-    for i in range(n_tris):
+    def body(i, occ):
         hit, _, _, _ = _watertight(
             o[0], o[1], o[2], d[0], d[1], d[2], t_max,
             _tri_cols(tri_ref, i),
         )
         if skip_id >= 0:
             hit = hit & (trs_ref[i, 27] != float(skip_id))
-        occ = occ | hit.astype(jnp.int32)
+        # i32 carry: Mosaic can't legalize scf.for over i1 vectors.
+        return occ | hit.astype(jnp.int32)
+
+    occ = jnp.zeros(o[0].shape, dtype=jnp.int32)
+    if n_tris <= MAX_TRIS:
+        for i in range(n_tris):
+            occ = body(i, occ)
+    else:
+        occ = jax.lax.fori_loop(0, n_tris, body, occ)
     blocked = occ > 0
     if n_spheres:
         st_, si_ = _spheres_closest(sp_ref, n_spheres, o, d, t_max)
@@ -851,7 +882,7 @@ def wave_supported(meta, sampler) -> bool:
 
     if not isinstance(sampler, (UniformSampler, StratifiedSampler)):
         return False
-    if meta.traversal != "dense" or meta.n_tris > MAX_TRIS:
+    if meta.traversal != "dense" or meta.n_tris > MAX_TRIS_WAVE:
         return False
     if meta.n_tris == 0:
         return False

@@ -63,6 +63,13 @@ C_WALK = 64  # candidates per bundle (colonnade bounce p95 = 27 sorted /
 # overflow->wide machinery as every other engine)
 N_TF = 16  # plane-major triangle field rows per chunk (9 corners +
 # area-light + prim id + 5 pad)
+SEG_B = 2048  # bundles per pallas_call segment: the prefetched pair
+# scalars live in SMEM (~1 MB), so a whole 262k-ray wave's per-pair
+# tables (pair_chunk cap*4 B + quad_b cap B at cap ~ mult*n_b) blow the
+# budget 3-6x (measured on-chip: 'prefetched SMEM operand 0' 1.5 MB vs
+# 1 MB at mult_wide=48).  2048 bundles (16k rays) caps the wide tier at
+# ~480 KB; segments run as one lax.map'd pallas_call (sequential, one
+# compile) with per-segment tight/wide tier choice.
 
 
 def walker_tri_planes(ch):
@@ -89,23 +96,52 @@ def walker_tri_planes(ch):
 
 
 def _bundle_ray_table(o, d, t_max, skip, n_b: int):
-    """Per-bundle ray blocks [n_b + 1, 8, 128]: bundle g's block has
+    """Per-bundle ray blocks [n_b, 8, 128]: bundle g's block has
     ray r on sublane r, fields on lanes 0-7 (ox oy oz dx dy dz tm
-    skip); the trailing sentinel block is dead (tm = 0) for padded
-    pairs."""
+    skip).  The caller appends a per-segment dead sentinel block
+    (tm = 0) for padded pairs."""
     planes = [
         o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2], t_max,
         jnp.zeros_like(t_max) if skip is None else skip.astype(jnp.float32),
     ]
     tab = jnp.stack(planes, axis=1)  # [n, 8] fields on axis 1
     tab = tab.reshape(n_b, BUN, 8)
-    tab = jnp.concatenate(
+    return jnp.concatenate(
         [tab, jnp.zeros((n_b, BUN, LANES - 8), tab.dtype)], axis=2
     )
-    dead = jnp.zeros((1, BUN, LANES), tab.dtype)
-    return jnp.concatenate([tab, dead], axis=0).reshape(
-        (n_b + 1) * BUN, LANES
+
+
+def _seg_b(n_b: int) -> int:
+    """Segment size: SEG_B for production waves, the whole wave when it
+    is already under budget (small/compacted waves pay zero padding)."""
+    return min(SEG_B, max(n_b, 1))
+
+
+def _segments(lists, rtab, t_max, n_b: int, seg_b: int):
+    """Pad the wave to a seg_b multiple and split: returns (nseg,
+    lists3 [nseg, seg_b, C], rtab3 [nseg, (seg_b+1)*8, 128] with a dead
+    sentinel block per segment, tmax3 [nseg, seg_b*8]).  Padded bundles
+    are dead (tm=0, empty lists -> QUAD pad pairs of chunk -1)."""
+    nseg = max(1, -(-n_b // seg_b))
+    nbp = nseg * seg_b
+    if nbp != n_b:
+        lists = jnp.concatenate(
+            [lists,
+             jnp.full((nbp - n_b, lists.shape[1]), -1, lists.dtype)]
+        )
+        rtab = jnp.concatenate(
+            [rtab, jnp.zeros((nbp - n_b, BUN, LANES), rtab.dtype)]
+        )
+        t_max = jnp.concatenate(
+            [t_max, jnp.zeros((nbp - n_b) * BUN, t_max.dtype)]
+        )
+    lists3 = lists.reshape(nseg, seg_b, lists.shape[1])
+    rt = rtab.reshape(nseg, seg_b, BUN, LANES)
+    dead = jnp.zeros((nseg, 1, BUN, LANES), rtab.dtype)
+    rtab3 = jnp.concatenate([rt, dead], axis=1).reshape(
+        nseg, (seg_b + 1) * BUN, LANES
     )
+    return nseg, lists3, rtab3, t_max.reshape(nseg, seg_b * BUN)
 
 
 def _bundle_pairs(lists, n_b: int, cap: int):
@@ -356,7 +392,9 @@ def walker_closest_w(ch, words, o, d, t_max, C: int = C_WALK,
     ok) — overflow marks rays of bundles whose list exceeded C; ok
     False means the pair budget blew and the caller must fall back.
     ``skip``: per-ray area-light id plane (combined closest+shadow
-    waves) or None."""
+    waves) or None.  The wave runs as SEG_B-bundle segments (SMEM pair
+    budget, see SEG_B) via one lax.map'd pallas_call, each segment
+    picking its own tight/wide tier."""
     n = o.shape[0]
     n_b = n // BUN
     from .trace_bundles import bundle_words
@@ -364,40 +402,55 @@ def walker_closest_w(ch, words, o, d, t_max, C: int = C_WALK,
     lists, ov_b = extract_lists(bundle_words(words, BUN), C)
     rtab = _bundle_ray_table(o, d, t_max, skip, n_b)
     tp = walker_tri_planes(ch)
+    seg_b = _seg_b(n_b)
+    nseg, lists3, rtab3, tmax3 = _segments(lists, rtab, t_max, n_b,
+                                           seg_b)
+    kern = functools.partial(
+        _walker_closest_kernel, with_skip=skip is not None
+    )
+    cap_a = _mult_cap(seg_b, mult)
+    cap_b = (
+        _mult_cap(seg_b, mult_wide)
+        if mult_wide is not None and mult_wide > mult else None
+    )
 
-    def tier(cap):
-        def run(_):
-            pair_chunk, quad_b, _ = _bundle_pairs(lists, n_b, cap)
-            kern = functools.partial(
-                _walker_closest_kernel, with_skip=skip is not None
-            )
-            out = _grid_call(
-                kern, ch, tp, quad_b, pair_chunk, rtab, n_b, cap, 24,
-                jnp.float32, interpret,
-            )
-            return _lane_fold_closest(out, t_max, n)
-        return run
+    def seg(args):
+        lst, rt, tm = args
 
-    counts = (lists >= 0).sum(axis=1)
-    demand = (-(-jnp.maximum(counts, 1) // QUAD) * QUAD).sum()
-    cap_a = _mult_cap(n_b, mult)
-    ok_a = demand <= cap_a
-    if mult_wide is not None and mult_wide > mult:
-        cap_b = _mult_cap(n_b, mult_wide)
-        ok = demand <= cap_b
-        t, prim = jax.lax.cond(ok_a, tier(cap_a), tier(cap_b), None)
-    else:
-        ok = ok_a
-        t, prim = tier(cap_a)(None)
+        def tier(cap):
+            def run(_):
+                pair_chunk, quad_b, _ = _bundle_pairs(lst, seg_b, cap)
+                out = _grid_call(
+                    kern, ch, tp, quad_b, pair_chunk, rt, seg_b, cap,
+                    24, jnp.float32, interpret,
+                )
+                return _lane_fold_closest(out, tm, seg_b * BUN)
+            return run
+
+        counts = (lst >= 0).sum(axis=1)
+        demand = (-(-jnp.maximum(counts, 1) // QUAD) * QUAD).sum()
+        ok_s = demand <= cap_a
+        if cap_b is not None:
+            t, prim = jax.lax.cond(ok_s, tier(cap_a), tier(cap_b),
+                                   None)
+            ok_s = demand <= cap_b
+        else:
+            t, prim = tier(cap_a)(None)
+        return t, prim, ok_s
+
+    t3, prim3, ok3 = jax.lax.map(seg, (lists3, rtab3, tmax3))
+    t = t3.reshape(-1)[:n]
+    prim = prim3.reshape(-1)[:n]
     overflow = jnp.repeat(ov_b, BUN)
-    return t, prim, overflow, ok
+    return t, prim, overflow, ok3.all()
 
 
 def walker_any_w(ch, words, o, d, t_max, skip_light, C: int = C_WALK,
                  mult: int = 12, mult_wide: int | None = None,
                  interpret: bool = False):
     """Occlusion over the bundle-walker (stream_any_w contract):
-    returns (occluded[n], overflow[n], ok)."""
+    returns (occluded[n], overflow[n], ok).  Segmented like
+    walker_closest_w."""
     n = o.shape[0]
     n_b = n // BUN
     from .trace_bundles import bundle_words
@@ -405,27 +458,40 @@ def walker_any_w(ch, words, o, d, t_max, skip_light, C: int = C_WALK,
     lists, ov_b = extract_lists(bundle_words(words, BUN), C)
     rtab = _bundle_ray_table(o, d, t_max, skip_light, n_b)
     tp = walker_tri_planes(ch)
+    seg_b = _seg_b(n_b)
+    nseg, lists3, rtab3, _ = _segments(lists, rtab, t_max, n_b, seg_b)
+    cap_a = _mult_cap(seg_b, mult)
+    cap_b = (
+        _mult_cap(seg_b, mult_wide)
+        if mult_wide is not None and mult_wide > mult else None
+    )
 
-    def tier(cap):
-        def run(_):
-            pair_chunk, quad_b, _ = _bundle_pairs(lists, n_b, cap)
-            out = _grid_call(
-                _walker_any_kernel, ch, tp, quad_b, pair_chunk, rtab,
-                n_b, cap, 8, jnp.int32, interpret,
-            )
-            return jnp.max(out.reshape(n, LANES), axis=1) > 0
-        return run
+    def seg(args):
+        lst, rt = args
 
-    counts = (lists >= 0).sum(axis=1)
-    demand = (-(-jnp.maximum(counts, 1) // QUAD) * QUAD).sum()
-    cap_a = _mult_cap(n_b, mult)
-    ok_a = demand <= cap_a
-    if mult_wide is not None and mult_wide > mult:
-        cap_b = _mult_cap(n_b, mult_wide)
-        ok = demand <= cap_b
-        occ = jax.lax.cond(ok_a, tier(cap_a), tier(cap_b), None)
-    else:
-        ok = ok_a
-        occ = tier(cap_a)(None)
+        def tier(cap):
+            def run(_):
+                pair_chunk, quad_b, _ = _bundle_pairs(lst, seg_b, cap)
+                out = _grid_call(
+                    _walker_any_kernel, ch, tp, quad_b, pair_chunk, rt,
+                    seg_b, cap, 8, jnp.int32, interpret,
+                )
+                return jnp.max(
+                    out.reshape(seg_b * BUN, LANES), axis=1
+                ) > 0
+            return run
+
+        counts = (lst >= 0).sum(axis=1)
+        demand = (-(-jnp.maximum(counts, 1) // QUAD) * QUAD).sum()
+        ok_s = demand <= cap_a
+        if cap_b is not None:
+            occ = jax.lax.cond(ok_s, tier(cap_a), tier(cap_b), None)
+            ok_s = demand <= cap_b
+        else:
+            occ = tier(cap_a)(None)
+        return occ, ok_s
+
+    occ3, ok3 = jax.lax.map(seg, (lists3, rtab3))
+    occ = occ3.reshape(-1)[:n]
     overflow = jnp.repeat(ov_b, BUN)
-    return occ, overflow, ok
+    return occ, overflow, ok3.all()

@@ -44,8 +44,11 @@ TRAVERSE_KNOCK = frozenset()
 # Round-5 divergent-branch engine select: True routes the slot branch
 # through the fused bundle-walker (ops/trace_walker.py — no
 # sort/pack/merge stages); False keeps the per-ray slot stream.
-# Defaults decided by the on-chip A/B (benchmarks/r5_walker.py) per
-# the round-5 hard rule — off until that probe records a win.
+# DECIDED by the on-chip A/B (benchmarks/r5_walker.py, 262k-ray
+# colonnade waves): walker 468.9/307.6 ms vs stream 81.7/60.1
+# (closest/any) — Mosaic per-grid-step overhead (~2.4 us) dwarfs the
+# 8-ray-bundle work unit; see ARCHITECTURE.md "Round-5: the
+# bundle-walker A/B".  Parity was exact (0/262k).  Stays off.
 WALKER_CLOSEST = False
 WALKER_ANY = False
 # Pair budgets (candidates per 8-ray bundle): colonnade bounce union
