@@ -265,14 +265,19 @@ def main():
                                 max_depth=5, wave_tiles=4096,
                                 samples_per_launch=16)
 
+    # Treelet scenes: 2048-tile (524k-ray) waves measured +11% over 1024
+    # (benchmarks/r5_wavesize.py: 1.251 vs 1.124 Mrays/s — denser waves
+    # tighten block coherence and halve dispatch round trips).  4096
+    # does NOT compile: the slot stream's prefetched row tables blow the
+    # ~1 MB SMEM budget at 1M rays ('prefetched SMEM operand 1' 1.5 MB).
     scene_l, cam_l, _ = colonnade()
     colonnade_stats = bench_scene(
-        scene_l, cam_l, (1920, 1080), spp=1, max_depth=5
+        scene_l, cam_l, (1920, 1080), spp=1, max_depth=5, wave_tiles=2048
     )
 
     scene_a, cam_a, _ = load_atrium()
     atrium_stats = bench_scene(
-        scene_a, cam_a, (1920, 1080), spp=1, max_depth=5
+        scene_a, cam_a, (1920, 1080), spp=1, max_depth=5, wave_tiles=2048
     )
 
     stages = {}

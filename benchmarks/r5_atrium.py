@@ -55,8 +55,11 @@ def _waves(scene_tuple, n):
     o0, d0 = camera.ray(p_film)
     tmax_full = jnp.full(n, traverse.F32_MAX)
 
+    # data rides as a jit ARGUMENT: closure-captured arrays embed as HLO
+    # constants and the atrium scene's blow the remote-compile request
+    # body limit (HTTP 413).
     @jax.jit
-    def mk(o0, d0):
+    def mk(data, o0, d0):
         hit0 = traverse.intersect(data, meta, o0, d0, tmax_full)
         alive = hit0.hit
         si = make_surface(data, hit0, o0, d0)
@@ -74,7 +77,7 @@ def _waves(scene_tuple, n):
         t_s = jnp.where(alive, 0.9999, 0.0)
         return o1, d1, t1, o_s, d_s, t_s
 
-    parts = jax.device_get(mk(o0, d0))
+    parts = jax.device_get(mk(data, o0, d0))
     return (data, meta, o0, d0, tmax_full,
             *(jnp.asarray(p) for p in parts))
 
@@ -123,7 +126,7 @@ def main():
         # Candidate-load stats on the bounce wave (the slot branch's
         # real input): exact crossings per ray, demand vs budget.
         @jax.jit
-        def stats(o, d, t):
+        def stats_(ch, o, d, t):
             words = ts.cross_words(ch, o, d, t)
             cnt = sum(
                 jax.lax.population_count(words[:, w]).astype(jnp.int32)
@@ -135,20 +138,24 @@ def main():
         for wave, (o, d, t) in (("bounce", (o1, d1, t1)),
                                 ("shadow", (o_s, d_s, t_s))):
             tot, live, mx, p99 = map(int, jax.device_get(
-                stats(o, d, t)))
+                stats_(ch, o, d, t)))
             print(f"  {wave}: crossings total={tot} live={live} "
                   f"mean/live={tot / max(live, 1):.2f} max={mx} "
                   f"p99={p99}", flush=True)
 
         @jax.jit
-        def close(o, d, t):
+        def close_(data, o, d, t):
             return traverse.intersect(data, meta, o, d, t,
                                       skip_sort=True)
 
         @jax.jit
-        def anyq(o, d, t, sk):
+        def anyq_(data, o, d, t, sk):
             return traverse.any_intersect(data, meta, o, d, t, sk,
                                           skip_sort=True)
+
+        import functools
+        close = functools.partial(close_, data)
+        anyq = functools.partial(anyq_, data)
 
         skip0 = jnp.zeros(n, jnp.int32)
         timed("closest bounce ", close, o1, d1, t1)

@@ -76,6 +76,32 @@ class TestRows:
         assert keep.any()
         assert np.array_equal(np.asarray(occ)[keep], np.asarray(ref)[keep])
 
+    def test_multi_segment_parity(self, soup, monkeypatch):
+        """Forcing several SMEM row segments (SEG_R below the wave's row
+        count) must be result-invariant — rows never split across
+        segments (see trace_rows.SEG_R)."""
+        from yuki_tpu.ops import trace_rows as trm
+
+        sc, ch = soup
+        o, d = rays(1024, 7)
+        t_max = jnp.full(1024, F32_MAX)
+        t_ref, p_ref, ov_ref = rows_closest(ch, o, d, t_max, C=64,
+                                            mult=64, interpret=True)
+        skip = jnp.full(1024, -2, jnp.int32)
+        occ_ref, _ = rows_any(ch, o, d, t_max, skip, C=64, mult=64,
+                              interpret=True)
+        monkeypatch.setattr(trm, "SEG_R", 2)  # 8 rows -> 4 segments
+        t, p, ov = rows_closest(ch, o, d, t_max, C=64, mult=64,
+                                interpret=True)
+        occ, _ = rows_any(ch, o, d, t_max, skip, C=64, mult=64,
+                          interpret=True)
+        keep = ~np.asarray(ov_ref)
+        assert np.array_equal(np.asarray(p)[keep],
+                              np.asarray(p_ref)[keep])
+        assert np.array_equal(np.asarray(t)[keep],
+                              np.asarray(t_ref)[keep])
+        assert np.array_equal(np.asarray(occ), np.asarray(occ_ref))
+
     def test_row_overflow_flagged(self, soup):
         sc, ch = soup
         o, d = rays(256, 5)

@@ -373,7 +373,10 @@ def _texel_select_pal(texp_ref, pal_ref, q, rem, knock=frozenset()):
     f32 — and exact through a one-hot MXU dot at ANY bf16 pass count,
     because the one-hot operand is exactly {0,1} so each split-product
     sums back to the unrounded packed value; precision=HIGHEST pins
-    the multi-pass lowering).  pal_ref: [8, 128] f32, rows 0..2 =
+    the multi-pass lowering).  VERIFIED ON-CHIP through real Mosaic:
+    benchmarks/r5_palprobe.py sweeps every pool texel of the production
+    Cornell atlas — 0/196608 mismatches vs the XLA gather (likewise
+    _texel_select and _select_row_mxu, the latter bitwise on f32).  pal_ref: [8, 128] f32, rows 0..2 =
     r/g/b INTEGER u8 values of palette entry p (cols >= P zero).
     Packing 3 rems per row cuts the per-group column-mask
     construct+mul+reduce from 256 rows to 88 — the dominant VPU term

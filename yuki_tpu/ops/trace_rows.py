@@ -153,6 +153,36 @@ def _pack_planes(arrs, rows):
 QUAD = 4  # pairs per grid step (shared row): hides the four triangle
 # block DMAs behind ~4 us of compute instead of stalling every step
 
+SEG_R = 2048  # rows per pallas_call segment: the prefetched pair
+# scalars (quad_row cap/4 B + pair_chunk cap*4 B at cap ~ mult*rows)
+# live in ~1 MB SMEM; a 1M-ray wave (8192 rows) blows it ('prefetched
+# SMEM operand 1' 1.5 MB on-chip, r5_wavesize 4096-tile attempt), which
+# capped treelet waves at 262k rays.  2048 rows caps the tables at
+# ~0.5 MB; segments run as one lax.map'd pallas_call (sequential, one
+# compile) — same scheme as trace_walker.SEG_B.
+
+
+def _row_segments(lists, planes, rows: int):
+    """Pad the wave to a segment multiple and split for lax.map:
+    returns (nseg, seg_r, lists3 [nseg, seg_r, C], planes3 list of
+    [nseg, seg_r * LANES]).  Padded rows have empty lists (no pairs)
+    and dead rays; their out blocks are never read."""
+    seg_r = min(SEG_R, max(rows, 1))
+    nseg = max(1, -(-rows // seg_r))
+    rp = nseg * seg_r
+    if rp != rows:
+        pad_r = rp - rows
+        lists = jnp.concatenate(
+            [lists, jnp.full((pad_r, lists.shape[1]), -1, lists.dtype)]
+        )
+        planes = [
+            jnp.concatenate([p, jnp.zeros(pad_r * LANES, p.dtype)])
+            for p in planes
+        ]
+    lists3 = lists.reshape(nseg, seg_r, lists.shape[1])
+    planes3 = [p.reshape(nseg, seg_r * LANES) for p in planes]
+    return nseg, seg_r, lists3, planes3
+
 
 def _row_pairs(lists, rows: int, C: int, cap: int):
     """[rows, C] candidate lists -> compacted row-major (row, chunk) pair
@@ -356,30 +386,40 @@ def rows_closest_w(ch, row_words, o, d, t_max, C: int = C_ROW,
     combined closest+shadow waves (trace_stream.closest_walk)."""
     n = o.shape[0]
     rows = n // LANES
-    cap = -(-(mult * rows) // (2 * QUAD)) * 2 * QUAD
     lists, overflow = extract_lists(row_words, C)
     # Every row needs >= 1 pair so its out block's is_first defaults get
     # written (empty rows would otherwise return uninitialized memory).
     lists = lists.at[:, 0].set(jnp.maximum(lists[:, 0], 0))
-    pair_row, pair_chunk, quad_row, n_pairs = _row_pairs(lists, rows, C,
-                                                         cap)
-    overflow = overflow | (n_pairs > cap)
     planes = [o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2], t_max]
     if skip_light is not None:
         planes.append(skip_light.astype(jnp.float32))
-    packed = _pack_planes(planes, rows)
+    nseg, seg_r, lists3, planes3 = _row_segments(lists, planes, rows)
+    cap = -(-(mult * seg_r) // (2 * QUAD)) * 2 * QUAD
     kern = (functools.partial(_rows_closest_kernel, with_skip=True)
             if skip_light is not None else _rows_closest_kernel)
-    out = _grid_call(
-        kern, ch, quad_row, pair_chunk, packed, rows, cap,
-        jnp.float32, interpret,
-    )
-    # ONE divide per ray resolves the kernel's scaled (ts, det) carry.
-    t = (out[:, 0, :] / out[:, 2, :]).reshape(-1)
-    prim = out[:, 1, :].reshape(-1)
+
+    def seg(args):
+        lst, pls = args[0], args[1:]
+        _, pair_chunk, quad_row, n_pairs = _row_pairs(lst, seg_r, C, cap)
+        packed = _pack_planes(list(pls), seg_r)
+        out = _grid_call(
+            kern, ch, quad_row, pair_chunk, packed, seg_r, cap,
+            jnp.float32, interpret,
+        )
+        # ONE divide per ray resolves the scaled (ts, det) carry.
+        t = (out[:, 0, :] / out[:, 2, :]).reshape(-1)
+        prim = out[:, 1, :].reshape(-1)
+        return t, prim, n_pairs > cap
+
+    t3, prim3, ov3 = jax.lax.map(seg, (lists3, *planes3))
+    t = t3.reshape(-1)[:n]
+    prim = prim3.reshape(-1)[:n]
     hit = prim >= 0.0
     t = jnp.where(hit, t, t_max)
-    ov = jnp.broadcast_to(overflow[:, None], (rows, LANES)).reshape(-1)
+    ov = (
+        jnp.broadcast_to(overflow[:, None], (rows, LANES)).reshape(-1)
+        | jnp.repeat(ov3, seg_r * LANES)[:n]
+    )
     return t, prim.astype(jnp.int32), ov
 
 
@@ -400,25 +440,31 @@ def rows_any_w(ch, row_words, o, d, t_max, skip_light, C: int = C_ROW,
     unoccluded."""
     n = o.shape[0]
     rows = n // LANES
-    cap = -(-(mult * rows) // (2 * QUAD)) * 2 * QUAD
     lists, overflow = extract_lists(row_words, C)
     # Every row needs >= 1 pair so its out block's is_first defaults get
     # written (empty rows would otherwise return uninitialized memory).
     lists = lists.at[:, 0].set(jnp.maximum(lists[:, 0], 0))
-    pair_row, pair_chunk, quad_row, n_pairs = _row_pairs(lists, rows, C,
-                                                         cap)
-    overflow = overflow | (n_pairs > cap)
-    packed = _pack_planes(
-        [o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2], t_max,
-         skip_light.astype(jnp.float32)],
-        rows,
+    planes = [o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
+              t_max, skip_light.astype(jnp.float32)]
+    nseg, seg_r, lists3, planes3 = _row_segments(lists, planes, rows)
+    cap = -(-(mult * seg_r) // (2 * QUAD)) * 2 * QUAD
+
+    def seg(args):
+        lst, pls = args[0], args[1:]
+        _, pair_chunk, quad_row, n_pairs = _row_pairs(lst, seg_r, C, cap)
+        packed = _pack_planes(list(pls), seg_r)
+        occ = _grid_call(
+            _rows_any_kernel, ch, quad_row, pair_chunk, packed, seg_r,
+            cap, jnp.int32, interpret,
+        )
+        return occ[:, 0, :].reshape(-1), n_pairs > cap
+
+    occ3, ov3 = jax.lax.map(seg, (lists3, *planes3))
+    ov = (
+        jnp.broadcast_to(overflow[:, None], (rows, LANES)).reshape(-1)
+        | jnp.repeat(ov3, seg_r * LANES)[:n]
     )
-    occ = _grid_call(
-        _rows_any_kernel, ch, quad_row, pair_chunk, packed, rows, cap,
-        jnp.int32, interpret,
-    )
-    ov = jnp.broadcast_to(overflow[:, None], (rows, LANES)).reshape(-1)
-    return occ[:, 0, :].reshape(-1) > 0, ov
+    return occ3.reshape(-1)[:n] > 0, ov
 
 
 @functools.partial(
